@@ -1,0 +1,87 @@
+"""SAGAN-style self-attention over the H·W token axis.
+
+Reference (ref ``ops.py:~250-310``) has two variants; the models use the
+memory-lean ``self_attention_2``:
+
+- query  ``g`` = 1×1 conv → C/8, over all N = H·W tokens
+- key    ``f`` = 1×1 conv → C/8, then 2×2 max-pool → N/4 tokens
+- value  ``h`` = 1×1 conv → C/2, then 2×2 max-pool → N/4 tokens
+- ``attn = softmax(g·fᵀ)`` (no 1/√d scaling in SAGAN), ``o = attn·h``,
+  1×1 conv back to C, output ``γ·o + x`` with scalar γ initialized to 0.
+
+TPU-native design: the N×(N/4) score matrix at the reference's largest
+placement (64×64 → 4096×1024) fits VMEM-tiled comfortably, but the naive
+XLA path materializes it in HBM. The Pallas path
+(:mod:`biggan_tpu.kernels.attention_pallas`) computes flash-style blockwise
+softmax(QKᵀ)V with online renormalization, never materializing scores —
+HBM stays flat if a config moves attention to 128×128 (N = 16384). Both
+paths are parity-tested; ``impl`` selects ("xla" | "pallas").
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from biggan_tpu.ops.layers import SNConv2D
+from biggan_tpu.ops.pooling import max_pool
+
+
+def attention_xla(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """softmax(q·kᵀ)·v, unscaled (SAGAN). q:[B,N,d] k:[B,M,d] v:[B,M,dv]."""
+    scores = jnp.einsum("bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bnm,bmv->bnv", probs.astype(v.dtype), v, preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+class SelfAttention(nn.Module):
+    """``self_attention_2``-equivalent module (ref ops.py:~278-310).
+
+    ``pooled_kv=False`` gives the full ``self_attention`` variant
+    (C/8 keys, full-C values, no pooling; ref ops.py:~250-275).
+    """
+
+    use_sn: bool = True
+    pooled_kv: bool = True
+    impl: str = "xla"  # "xla" | "pallas"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        n_batch, h, w, c = x.shape
+        n_tok = h * w
+        kw = dict(use_sn=self.use_sn, use_bias=False, dtype=self.dtype)
+
+        # floor of 1: c<8 never occurs in a real BigGAN config but a
+        # zero-width conv fails with an opaque ZeroDivisionError inside SN.
+        qk_ch = max(c // 8, 1)
+        q = SNConv2D(qk_ch, 1, 1, name="g_conv", **kw)(x, update_sn=train)
+        k = SNConv2D(qk_ch, 1, 1, name="f_conv", **kw)(x, update_sn=train)
+        if self.pooled_kv:
+            v_ch = max(c // 2, 1)
+            v = SNConv2D(v_ch, 1, 1, name="h_conv", **kw)(x, update_sn=train)
+            k = max_pool(k)
+            v = max_pool(v)
+        else:
+            v = SNConv2D(c, 1, 1, name="h_conv", **kw)(x, update_sn=train)
+            v_ch = c
+
+        q = q.reshape(n_batch, n_tok, -1)
+        k = k.reshape(n_batch, -1, k.shape[-1])
+        v = v.reshape(n_batch, -1, v_ch)
+
+        if self.impl == "pallas":
+            from biggan_tpu.kernels.attention_pallas import flash_attention
+
+            o = flash_attention(q, k, v)
+        else:
+            o = attention_xla(q, k, v)
+        o = o.reshape(n_batch, h, w, v_ch)
+
+        if self.pooled_kv:
+            o = SNConv2D(c, 1, 1, name="attn_conv", **kw)(o, update_sn=train)
+        gamma = self.param("gamma", nn.initializers.zeros, (), jnp.float32)
+        return (gamma.astype(self.dtype) * o + x).astype(self.dtype)

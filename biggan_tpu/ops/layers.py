@@ -1,0 +1,151 @@
+"""Conv / deconv / dense layers with optional spectral normalization.
+
+TPU-native counterparts of the reference's ``conv`` / ``deconv`` /
+``fully_connected`` (ref ``ops.py:~40-135``):
+
+- NHWC layout, HWIO kernels — the layouts XLA tiles best onto the MXU.
+- Explicit symmetric padding + VALID conv, matching the reference's
+  manual-pad-then-VALID scheme (ref ``ops.py:~40-75``) instead of TF SAME's
+  asymmetric padding; this keeps activations bit-comparable for imported
+  checkpoints.
+- When ``use_sn``: the kernel is wrapped by
+  :func:`biggan_tpu.ops.sn.spectral_normalize` with its power-iteration
+  ``u`` carried in the ``sn_u`` collection (mutated only when the module is
+  called with ``update_sn=True``, i.e. during training).
+- Mixed precision: params live in float32; compute runs in ``dtype``
+  (bfloat16 by default on TPU) — inputs and the (already σ-divided) kernel
+  are cast at call time.
+
+Init is truncated-normal(0, 0.02) like the reference's ``weight_init``
+(ref ``ops.py:~8-12``); orthogonal regularization is applied at loss time
+over the params pytree (see :func:`biggan_tpu.ops.losses.orthogonal_regularization`)
+rather than via per-layer regularizer hooks.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from biggan_tpu.ops.sn import spectral_normalize
+
+# Reference weight_init: truncated_normal(mean=0, stddev=0.02), ops.py:~8.
+kernel_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def _pair(v) -> tuple[int, int]:
+    if isinstance(v, int):
+        return (v, v)
+    a, b = v
+    return (int(a), int(b))
+
+
+class _SNMixin:
+    """Shared helper: fetch a kernel, spectrally normalize if requested."""
+
+    def _maybe_sn(self, w: jax.Array, use_sn: bool, update_sn: bool) -> jax.Array:
+        if not use_sn:
+            return w
+        u = self.variable(
+            "sn_u",
+            "u",
+            lambda: jax.random.normal(self.make_rng("params"), (w.shape[-1],), jnp.float32),
+        )
+        w_sn, u_next = spectral_normalize(w, u.value, update=update_sn)
+        if update_sn and not self.is_initializing():
+            u.value = u_next
+        return w_sn
+
+
+class SNDense(nn.Module, _SNMixin):
+    """Dense layer with optional SN (ref ``fully_connected``, ops.py:~113-135)."""
+
+    features: int
+    use_bias: bool = True
+    use_sn: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, update_sn: bool = False) -> jax.Array:
+        w = self.param("kernel", kernel_init, (x.shape[-1], self.features), jnp.float32)
+        w = self._maybe_sn(w, self.use_sn, update_sn)
+        y = jnp.dot(x.astype(self.dtype), w.astype(self.dtype), preferred_element_type=self.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class SNConv2D(nn.Module, _SNMixin):
+    """3×3/1×1 conv with symmetric pad + VALID and optional SN.
+
+    Mirrors the reference ``conv`` (ops.py:~40-75): explicit zero padding of
+    ``(k-1)//2`` on each side, then a VALID convolution — *not* TF SAME.
+    """
+
+    features: int
+    kernel_size: Sequence[int] | int = 3
+    strides: Sequence[int] | int = 1
+    use_bias: bool = True
+    use_sn: bool = False
+    pad: int | None = None  # default: (k-1)//2 symmetric
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, update_sn: bool = False) -> jax.Array:
+        kh, kw = _pair(self.kernel_size)
+        sh, sw = _pair(self.strides)
+        w = self.param("kernel", kernel_init, (kh, kw, x.shape[-1], self.features), jnp.float32)
+        w = self._maybe_sn(w, self.use_sn, update_sn)
+        ph = (kh - 1) // 2 if self.pad is None else self.pad
+        pw = (kw - 1) // 2 if self.pad is None else self.pad
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w.astype(self.dtype),
+            window_strides=(sh, sw),
+            padding=((ph, ph), (pw, pw)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype,
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class SNConvTranspose2D(nn.Module, _SNMixin):
+    """Transposed conv, kernel 3 stride 2 — the reference G's upsampler.
+
+    Matches TF ``conv2d_transpose(..., padding='SAME')`` output sizing
+    (``H → H·stride``; ref ``deconv``, ops.py:~78-110). Kernel stored HWIO
+    (out features last) so SN reshapes to ``[-1, C_out]`` uniformly.
+    """
+
+    features: int
+    kernel_size: Sequence[int] | int = 3
+    strides: Sequence[int] | int = 2
+    use_bias: bool = True
+    use_sn: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, update_sn: bool = False) -> jax.Array:
+        kh, kw = _pair(self.kernel_size)
+        sh, sw = _pair(self.strides)
+        w = self.param("kernel", kernel_init, (kh, kw, x.shape[-1], self.features), jnp.float32)
+        w = self._maybe_sn(w, self.use_sn, update_sn)
+        y = jax.lax.conv_transpose(
+            x.astype(self.dtype),
+            w.astype(self.dtype),
+            strides=(sh, sw),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype,
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b.astype(self.dtype)
+        return y

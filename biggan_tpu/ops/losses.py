@@ -1,0 +1,109 @@
+"""GAN losses and regularizers (ref ``ops.py:~15-35, ~435-470``).
+
+Supported ``gan_type`` values mirror the reference's ``discriminator_loss``
+/ ``generator_loss`` dispatch: ``hinge`` (default), ``gan`` (BCE),
+``lsgan``, ``wgan-gp``, ``wgan-lp``, ``dragan``. Gradient-penalty wiring
+for the wgan/dragan variants matches ref ``BigGAN_128.gradient_penalty``
+(BigGAN_128.py:~155-180). All loss math in float32.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+GAN_TYPES = ("hinge", "gan", "lsgan", "wgan-gp", "wgan-lp", "dragan")
+
+
+def _f32(x):
+    return x.astype(jnp.float32)
+
+
+def discriminator_loss(gan_type: str, real_logits: jax.Array, fake_logits: jax.Array) -> jax.Array:
+    """D loss on real/fake logits (ref ``discriminator_loss``, ops.py:~435-455)."""
+    real, fake = _f32(real_logits), _f32(fake_logits)
+    if gan_type == "hinge":
+        # E[relu(1 − D(x))] + E[relu(1 + D(G(z)))]
+        return jnp.mean(jax.nn.relu(1.0 - real)) + jnp.mean(jax.nn.relu(1.0 + fake))
+    if gan_type in ("wgan-gp", "wgan-lp"):
+        return -jnp.mean(real) + jnp.mean(fake)
+    if gan_type == "lsgan":
+        return jnp.mean(jnp.square(real - 1.0)) + jnp.mean(jnp.square(fake))
+    if gan_type in ("gan", "dragan"):
+        real_loss = jnp.mean(jax.nn.softplus(-real))  # −log σ(real)
+        fake_loss = jnp.mean(jax.nn.softplus(fake))  # −log(1 − σ(fake))
+        return real_loss + fake_loss
+    raise ValueError(f"unknown gan_type {gan_type!r}; expected one of {GAN_TYPES}")
+
+
+def generator_loss(gan_type: str, fake_logits: jax.Array) -> jax.Array:
+    """G loss on fake logits (ref ``generator_loss``, ops.py:~458-470)."""
+    fake = _f32(fake_logits)
+    if gan_type in ("hinge", "wgan-gp", "wgan-lp"):
+        return -jnp.mean(fake)
+    if gan_type == "lsgan":
+        return jnp.mean(jnp.square(fake - 1.0))
+    if gan_type in ("gan", "dragan"):
+        return jnp.mean(jax.nn.softplus(-fake))  # −log σ(fake)
+    raise ValueError(f"unknown gan_type {gan_type!r}; expected one of {GAN_TYPES}")
+
+
+def gradient_penalty(
+    d_apply: Callable[[jax.Array], jax.Array],
+    rng: jax.Array,
+    real: jax.Array,
+    fake: jax.Array,
+    gan_type: str = "wgan-gp",
+    weight: float = 10.0,
+) -> jax.Array:
+    """Interpolated gradient penalty (ref ``gradient_penalty``,
+    BigGAN_128.py:~155-180).
+
+    ``d_apply`` must be a pure ``images → logits`` closure. ``wgan-gp``:
+    (‖∇‖−1)²; ``wgan-lp``: max(0, ‖∇‖−1)²; ``dragan`` perturbs real with
+    0.5·std(real)·U(0,1) noise instead of interpolating toward fake.
+    """
+    alpha = jax.random.uniform(rng, (real.shape[0], 1, 1, 1), jnp.float32)
+    real32, fake32 = _f32(real), _f32(fake)
+    if gan_type == "dragan":
+        noise_rng, rng = jax.random.split(rng)
+        noise = 0.5 * jnp.std(real32) * jax.random.uniform(noise_rng, real.shape, jnp.float32)
+        fake32 = real32 + noise
+    interp = real32 + alpha * (fake32 - real32)
+
+    def d_sum(imgs):
+        return jnp.sum(_f32(d_apply(imgs.astype(real.dtype))))
+
+    grads = jax.grad(d_sum)(interp)
+    norms = jnp.sqrt(jnp.sum(jnp.square(_f32(grads)), axis=(1, 2, 3)) + 1e-12)
+    if gan_type == "wgan-lp":
+        penalty = jnp.square(jnp.maximum(0.0, norms - 1.0))
+    else:  # wgan-gp, dragan
+        penalty = jnp.square(norms - 1.0)
+    return weight * jnp.mean(penalty)
+
+
+def orthogonal_regularization(params, scale: float = 1e-4) -> jax.Array:
+    """Paper-form orthogonal regularization over all conv/dense kernels.
+
+    ref ``orthogonal_regularizer{,_fully}`` (ops.py:~15-35) penalizes
+    ‖WᵀW − I‖²; the BigGAN paper's (1−I)-masked form — penalize only
+    off-diagonal Gram entries, leaving column norms free — is what large
+    BigGANs actually train with, so that is the form used here (applied to
+    G only by the train step). Kernels are found by pytree leaf name
+    ``kernel`` with rank ≥ 2; biases/γ/β/embeddings are exempt.
+    """
+    import flax
+
+    total = jnp.zeros((), jnp.float32)
+    flat = flax.traverse_util.flatten_dict(params)
+    for path, leaf in flat.items():
+        if path[-1] != "kernel" or leaf.ndim < 2:
+            continue
+        w = _f32(leaf).reshape(-1, leaf.shape[-1])
+        gram = w.T @ w
+        off_diag = gram * (1.0 - jnp.eye(gram.shape[0], dtype=jnp.float32))
+        total = total + jnp.sum(jnp.square(off_diag))
+    return scale * total

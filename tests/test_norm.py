@@ -1,0 +1,73 @@
+"""BN / cBN unit tests (SURVEY.md §4: zero-mean/unit-var pre-γβ; pop stats EMA)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from biggan_tpu.ops.norm import BatchNorm, ConditionalBatchNorm
+
+
+def test_batchnorm_normalizes(rng):
+    x = jax.random.normal(rng, (8, 4, 4, 16), jnp.float32) * 3.0 + 2.0
+    bn = BatchNorm()
+    variables = bn.init(jax.random.PRNGKey(0), x)
+    y, mutated = bn.apply(variables, x, use_running_average=False, mutable=["batch_stats"])
+    y = np.asarray(y)
+    np.testing.assert_allclose(y.mean(axis=(0, 1, 2)), 0.0, atol=1e-4)
+    np.testing.assert_allclose(y.std(axis=(0, 1, 2)), 1.0, atol=1e-3)
+    # pop stats moved toward batch stats: mean = 0.9*0 + 0.1*batch_mean
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["mean"]),
+        0.1 * np.asarray(x).mean(axis=(0, 1, 2)),
+        rtol=1e-4,
+    )
+
+
+def test_cbn_normalizes_and_conditions(rng):
+    x = jax.random.normal(rng, (8, 4, 4, 16), jnp.float32) * 2.0 - 1.0
+    cond = jax.random.normal(jax.random.PRNGKey(1), (8, 20), jnp.float32)
+    cbn = ConditionalBatchNorm()
+    variables = cbn.init(jax.random.PRNGKey(0), x, cond)
+    y, _ = cbn.apply(variables, x, cond, use_running_average=False, mutable=["batch_stats"])
+    assert y.shape == x.shape
+    # different cond ⇒ different output (γ/β are cond-dependent)
+    y2, _ = cbn.apply(variables, x, cond + 1.0, use_running_average=False, mutable=["batch_stats"])
+    assert not np.allclose(np.asarray(y), np.asarray(y2))
+
+
+def test_cbn_eval_uses_population_stats(rng):
+    x = jax.random.normal(rng, (8, 4, 4, 16), jnp.float32)
+    cond = jnp.zeros((8, 20), jnp.float32)
+    cbn = ConditionalBatchNorm()
+    variables = cbn.init(jax.random.PRNGKey(0), x, cond)
+    # eval with fresh (zeros/ones) pop stats: output = x·γ(0)+β(0) ≈ x (γ init → 1)
+    y = cbn.apply(variables, x, cond, use_running_average=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-4)
+
+
+def test_cross_replica_moments_match_global_batch():
+    """8-device sharded BN moments == single-device global-batch moments."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest should provide 8 CPU devices"
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 4, 4, 8), jnp.float32) * 2.0 + 1.0
+    bn = BatchNorm()
+    variables = bn.init(jax.random.PRNGKey(0), x)
+
+    y_ref, mut_ref = bn.apply(variables, x, use_running_average=False, mutable=["batch_stats"])
+
+    mesh = Mesh(np.array(devs[:8]), ("data",))
+    x_sharded = jax.device_put(x, NamedSharding(mesh, P("data")))
+
+    @jax.jit
+    def sharded_apply(variables, x):
+        return bn.apply(variables, x, use_running_average=False, mutable=["batch_stats"])
+
+    y_shard, mut_shard = sharded_apply(variables, x_sharded)
+    np.testing.assert_allclose(np.asarray(y_shard), np.asarray(y_ref), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mut_shard["batch_stats"]["mean"]),
+        np.asarray(mut_ref["batch_stats"]["mean"]),
+        atol=1e-6,
+    )
