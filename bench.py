@@ -1,0 +1,99 @@
+"""Benchmark: BigGAN-128 train-step throughput on the real chip.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+The BASELINE north-star target is ≥2,000 images/sec/chip-equivalent for
+BigGAN-128 training (BASELINE.md); ``vs_baseline`` is value / 2000.
+
+Measures the full fused train step (n_critic D updates + G update + EMA +
+SN/BN state) on synthetic uint8 data, including the host→device batch
+transfer, per optimization-iteration images = batch_size · n_critic.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def run_bench(
+    img_size: int = 128,
+    batch_size: int = 32,
+    ch: int = 96,
+    warmup: int = 3,
+    iters: int = 10,
+) -> dict:
+    import jax
+
+    from biggan_tpu.configs import get_config
+    from biggan_tpu.parallel.mesh import create_mesh
+    from biggan_tpu.parallel.sharding import batch_sharding, replicate
+    from biggan_tpu.training.train_state import create_train_state
+    from biggan_tpu.training.train_step import make_train_step
+
+    cfg = get_config(
+        "biggan128_paper",
+        img_size=img_size,
+        ch=ch,
+        batch_size=batch_size,
+        n_critic=1,
+        grad_accum=1,
+        num_classes=1000,
+        compute_dtype="bfloat16",
+        dataset="synthetic",
+    )
+    mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    state = replicate(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
+    step_fn = jax.jit(make_train_step(cfg), donate_argnums=0)
+
+    rng = np.random.RandomState(0)
+    sharding = batch_sharding(mesh, batch_dim=1)
+
+    def make_batch():
+        return jax.device_put(
+            {
+                "image": rng.randint(
+                    0, 256, (cfg.n_critic, cfg.batch_size, img_size, img_size, 3)
+                ).astype(np.uint8),
+                "label": rng.randint(
+                    0, cfg.num_classes, (cfg.n_critic, cfg.batch_size)
+                ).astype(np.int32),
+            },
+            sharding,
+        )
+
+    batches = [make_batch() for _ in range(4)]
+    for i in range(warmup):
+        state, metrics = step_fn(state, batches[i % len(batches)])
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step_fn(state, batches[i % len(batches)])
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    n_chips = len(jax.devices())
+    images_per_sec = iters * cfg.batch_size * cfg.n_critic / dt
+    return {
+        "metric": f"biggan{img_size}_train_images_per_sec_per_chip",
+        "value": round(images_per_sec / n_chips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / n_chips / 2000.0, 4),
+        "detail": {
+            "img_size": img_size,
+            "batch_size": cfg.batch_size,
+            "ch": ch,
+            "n_chips": n_chips,
+            "step_ms": round(1000 * dt / iters, 2),
+            "d_loss": float(metrics["d_loss"]),
+            "g_loss": float(metrics["g_loss"]),
+        },
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(run_bench()))

@@ -1,0 +1,106 @@
+"""CLI — mirrors the reference's ``main.py`` flag-for-flag.
+
+ref ``parse_args()`` (main.py:~10-70) / ``check_args()`` (:~72-85) /
+``main()`` (:~88-110). The reference selects ``BigGAN_128/256/512`` by
+``--img_size``; here one parameterized :class:`~biggan_tpu.models.biggan.BigGAN`
+covers 32–512. Extra TPU-native flags are grouped at the bottom; presets
+from :mod:`biggan_tpu.configs` are reachable via ``--config``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+from biggan_tpu.configs.base import GANConfig, get_config, list_configs
+from biggan_tpu.utils.misc import str2bool
+
+
+def parse_args(argv=None) -> GANConfig:
+    desc = "TPU-native BigGAN (capabilities of BigGAN-Tensorflow)"
+    parser = argparse.ArgumentParser(description=desc)
+    parser.add_argument("--config", type=str, default=None,
+                        help=f"preset config: {', '.join(list_configs())}")
+
+    # reference flags (main.py:~10-70)
+    parser.add_argument("--phase", type=str, default="train",
+                        choices=["train", "test", "eval"])
+    parser.add_argument("--eval_num", type=int, default=None,
+                        help="samples per side for --phase eval FID/IS")
+    parser.add_argument("--dataset", type=str, default=None,
+                        help="dataset name under ./dataset/, or 'synthetic'")
+    parser.add_argument("--epoch", type=int, default=None)
+    parser.add_argument("--iteration", type=int, default=None, help="iterations per epoch")
+    parser.add_argument("--batch_size", type=int, default=None, help="global batch size")
+    parser.add_argument("--ch", type=int, default=None, help="base channel width")
+    parser.add_argument("--z_dim", type=int, default=None)
+    parser.add_argument("--img_size", type=int, default=None, choices=[32, 64, 128, 256, 512])
+    parser.add_argument("--sn", type=str2bool, default=None, help="spectral norm")
+    parser.add_argument("--gan_type", type=str, default=None,
+                        choices=["hinge", "gan", "lsgan", "wgan-gp", "wgan-lp", "dragan"])
+    parser.add_argument("--g_lr", type=float, default=None)
+    parser.add_argument("--d_lr", type=float, default=None)
+    parser.add_argument("--beta1", type=float, default=None)
+    parser.add_argument("--beta2", type=float, default=None)
+    parser.add_argument("--moving_decay", type=float, default=None, help="EMA decay")
+    parser.add_argument("--n_critic", type=int, default=None)
+    parser.add_argument("--print_freq", type=int, default=None)
+    parser.add_argument("--save_freq", type=int, default=None)
+    parser.add_argument("--sample_num", type=int, default=None)
+    parser.add_argument("--test_num", type=int, default=None)
+    parser.add_argument("--checkpoint_dir", type=str, default=None)
+    parser.add_argument("--result_dir", type=str, default=None)
+    parser.add_argument("--log_dir", type=str, default=None)
+    parser.add_argument("--sample_dir", type=str, default=None)
+
+    # capabilities beyond the reference
+    parser.add_argument("--num_classes", type=int, default=None,
+                        help="0 = unconditional (ref behavior)")
+    parser.add_argument("--grad_accum", type=int, default=None)
+    parser.add_argument("--truncation_psi", type=float, default=None)
+    parser.add_argument("--ortho_reg", type=float, default=None)
+    parser.add_argument("--g_up_mode", type=str, default=None, choices=["deconv", "nn_conv"])
+
+    # TPU-native
+    parser.add_argument("--compute_dtype", type=str, default=None,
+                        choices=["bfloat16", "float32"])
+    parser.add_argument("--attn_impl", type=str, default=None, choices=["xla", "pallas"])
+    parser.add_argument("--sn_impl", type=str, default=None, choices=["xla", "pallas"])
+    parser.add_argument("--remat", type=str2bool, default=None)
+    parser.add_argument("--shard_params", type=str2bool, default=None)
+    parser.add_argument("--seed", type=int, default=None)
+
+    args = parser.parse_args(argv)
+    base = get_config(args.config) if args.config else GANConfig()
+    field_names = {f.name for f in dataclasses.fields(GANConfig)}
+    overrides = {
+        k: v for k, v in vars(args).items() if k in field_names and v is not None
+    }
+    return base.replace(**overrides)
+
+
+def main(argv=None) -> int:
+    cfg = parse_args(argv)
+    from biggan_tpu.models.biggan import BigGAN
+    from biggan_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
+    gan = BigGAN(cfg)
+    gan.build_model()  # ref main(): build_model → show_all_variables → phase dispatch
+    if cfg.phase == "train":
+        gan.train()
+        print(" [*] Training finished!")
+    elif cfg.phase == "eval":
+        metrics = gan.evaluate()
+        for k, v in metrics.items():
+            print(f" [*] {k}: {v}")
+        print(" [*] Eval finished!")
+    else:
+        gan.test()
+        print(" [*] Test finished!")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

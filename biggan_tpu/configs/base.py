@@ -1,0 +1,159 @@
+"""Config system — dataclass configs + the five BASELINE presets.
+
+The reference's entire config system is ``argparse`` flags in
+``main.py:~10-85``, with the resolved config implicitly encoded in the
+``model_dir`` path name (ref ``BigGAN_128.model_dir``, :~385-395). Here a
+frozen dataclass is the single source of truth: every reference flag has a
+field (same names where sensible), CLI overrides map onto it, and the
+resolved config is persisted as ``config.json`` inside the run directory
+(SURVEY.md §5 "Config / flag system").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class GANConfig:
+    # --- phase / bookkeeping (ref main.py flags) ---
+    phase: str = "train"  # train | test | eval (FID/IS — new over the reference)
+    eval_num: int = 10_000  # samples per side for --phase eval FID/IS
+    dataset: str = "synthetic"  # dataset name → ./dataset/<name>/*.* or "synthetic"
+    checkpoint_dir: str = "checkpoint"
+    result_dir: str = "results"
+    log_dir: str = "logs"
+    sample_dir: str = "samples"
+
+    # --- model (ref main.py flags) ---
+    img_size: int = 128
+    ch: int = 96  # base channel width (paper: 96 at 128px)
+    z_dim: int = 120  # 120 → six 20-dim chunks at 128px (paper)
+    sn: bool = True  # spectral norm on conv/dense
+    num_classes: int = 0  # 0 = unconditional (ref behavior); >0 = cBN class embed
+    embed_dim: int = 128  # shared class-embedding width
+    g_up_mode: str = "deconv"  # "deconv" (ref-faithful) | "nn_conv" (paper)
+    d_norm: bool = True  # BN inside D (ref keeps it; False = paper SN-only D)
+    attn_impl: str = "xla"  # "xla" | "pallas"
+    sn_impl: str = "xla"  # power-iteration impl: "xla" | "pallas" (fused kernel)
+
+    # --- loss / optimization (ref main.py flags) ---
+    gan_type: str = "hinge"
+    g_lr: float = 5e-5  # paper 128px: G 5e-5
+    d_lr: float = 2e-4  # paper 128px: D 2e-4
+    beta1: float = 0.0
+    beta2: float = 0.9
+    moving_decay: float = 0.9999  # EMA decay for the averaged generator
+    n_critic: int = 1  # D updates per G update (ref: 1; paper: 2)
+    ortho_reg: float = 1e-4  # orthogonal regularization scale on G (0 = off)
+    gp_weight: float = 10.0  # gradient-penalty weight for wgan-gp/lp, dragan
+
+    # --- training schedule (ref main.py flags) ---
+    epoch: int = 50
+    iteration: int = 10000  # iterations per epoch
+    batch_size: int = 64  # GLOBAL batch (sharded over the data mesh axis)
+    grad_accum: int = 1  # virtual-batch multiplier for paper-scale batches
+    print_freq: int = 100
+    save_freq: int = 1000
+    sample_num: int = 64  # images per sample grid
+    test_num: int = 10  # grids written by `phase test`
+
+    # --- data ---
+    random_flip: bool = True  # device-side random horizontal flip (north star)
+
+    # --- sampling ---
+    truncation: float = 2.0  # truncated-normal threshold for z (ref: 2σ baked in)
+    truncation_psi: float = 1.0  # ψ scaling at inference (1.0 = off)
+    train_z_dist: str = "truncated"  # ref samples truncated z for training too
+
+    # --- TPU-native ---
+    compute_dtype: str = "bfloat16"  # bf16 on TPU; tests use float32
+    mesh_shape: Tuple[int, ...] = (-1, 1)  # (data, model); -1 = all remaining devices
+    mesh_axes: Tuple[str, ...] = ("data", "model")
+    shard_params: bool = False  # shard big kernels over the model axis (TP)
+    remat: bool = False  # jax.checkpoint on blocks to trade FLOPs for HBM
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.phase not in ("train", "test", "eval"):
+            raise ValueError(f"phase must be train|test|eval, got {self.phase!r}")
+        if self.batch_size % self.grad_accum != 0:
+            raise ValueError("batch_size must be divisible by grad_accum")
+        if self.img_size not in (32, 64, 128, 256, 512):
+            raise ValueError(f"img_size must be one of 32/64/128/256/512, got {self.img_size}")
+
+    # ref model_dir property (BigGAN_128.py:~385): namespaces ckpts/logs/samples
+    @property
+    def model_dir(self) -> str:
+        sn_tag = "sn" if self.sn else "nosn"
+        # ch is part of the namespace (unlike the reference, where ch was
+        # fixed per BigGAN_N file): one parameterized model must not mix
+        # incompatible widths in a checkpoint dir.
+        return (
+            f"BigGAN_{self.dataset}_{self.gan_type}_{self.img_size}"
+            f"_{self.z_dim}_ch{self.ch}_{sn_tag}"
+        )
+
+    @property
+    def model_name(self) -> str:
+        return "BigGAN"
+
+    def replace(self, **kw) -> "GANConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "GANConfig":
+        d = json.loads(text)
+        d["mesh_shape"] = tuple(d.get("mesh_shape", (-1, 1)))
+        d["mesh_axes"] = tuple(d.get("mesh_axes", ("data", "model")))
+        return cls(**d)
+
+
+# ---------------------------------------------------------------------------
+# The five BASELINE.json configs.
+# ---------------------------------------------------------------------------
+
+_PRESETS = {
+    # 1. BigGAN-32 on CIFAR-10 (ch=64, no self-attn) — dev/CPU-friendly
+    "biggan32_cifar10": GANConfig(
+        dataset="cifar10", img_size=32, ch=64, z_dim=128, num_classes=10,
+        g_lr=2e-4, d_lr=2e-4, batch_size=64, compute_dtype="float32",
+    ),
+    # 2. BigGAN-64 on ImageNet-64 with self-attention + spectral norm
+    "biggan64_imagenet": GANConfig(
+        dataset="imagenet64", img_size=64, ch=64, z_dim=120, num_classes=1000,
+        batch_size=256,
+    ),
+    # 3. BigGAN-128 full paper config (cBN shared embed, z-splits, EMA, truncation)
+    "biggan128_paper": GANConfig(
+        dataset="imagenet", img_size=128, ch=96, z_dim=120, num_classes=1000,
+        n_critic=2, batch_size=512, grad_accum=1,
+    ),
+    # 4. BigGAN-256 with orthogonal regularization + cross-replica BN over ICI
+    "biggan256_ici": GANConfig(
+        dataset="imagenet", img_size=256, ch=96, z_dim=140, num_classes=1000,
+        batch_size=256, remat=True,
+    ),
+    # 5. BigGAN-512 data-parallel on a v4-32 pod slice (DCN axis via mesh_shape)
+    "biggan512_pod": GANConfig(
+        dataset="imagenet", img_size=512, ch=96, z_dim=160, num_classes=1000,
+        batch_size=256, remat=True, mesh_shape=(-1, 1),
+    ),
+}
+
+
+def list_configs() -> list[str]:
+    return sorted(_PRESETS)
+
+
+def get_config(name: str, **overrides) -> GANConfig:
+    try:
+        cfg = _PRESETS[name]
+    except KeyError:
+        raise ValueError(f"unknown config {name!r}; available: {list_configs()}") from None
+    return cfg.replace(**overrides) if overrides else cfg

@@ -1,0 +1,36 @@
+"""Synthetic data source — deterministic random images for tests/benchmarks.
+
+The reference has no synthetic mode (it globs ``./dataset/<name>/*.*``,
+ref utils.py:~33-38); this exists so every train/bench path runs without a
+dataset on disk (SURVEY.md §7 build order step 2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class SyntheticSource:
+    """Infinite stream of uint8 images (+ labels when num_classes>0).
+
+    uint8 to match :class:`~biggan_tpu.data.pipeline.ImageFolderSource`'s
+    contract — every source feeds the same device-side preprocess.
+    """
+
+    def __init__(self, img_size: int, num_classes: int = 0, seed: int = 0):
+        self.img_size = img_size
+        self.num_classes = num_classes
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        return 50_000  # nominal epoch size
+
+    def batch(self, n: int) -> dict:
+        out = {
+            "image": self._rng.randint(
+                0, 256, size=(n, self.img_size, self.img_size, 3)
+            ).astype(np.uint8)
+        }
+        if self.num_classes > 0:
+            out["label"] = self._rng.randint(0, self.num_classes, size=(n,)).astype(np.int32)
+        return out

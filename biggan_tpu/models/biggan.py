@@ -1,0 +1,267 @@
+"""The public ``BigGAN`` class — API parity with the reference.
+
+The reference exposes ``BigGAN_N(sess, args)`` with ``build_model()``,
+``train()``, ``test()``, ``generator(z)``, ``discriminator(x)``,
+``save()/load()`` and a ``model_dir`` property (ref BigGAN_128.py;
+``main.py:~88-110`` drives exactly that surface). This class is the same
+surface minus the TF session, over the TPU-native machinery:
+
+- one fused jitted train step (:mod:`biggan_tpu.training.train_step`)
+- mesh-sharded batches (GSPMD data parallelism; SURVEY §2.4)
+- orbax checkpoint/resume with the step in state, not in a filename
+- EMA generator used for all sampling (ref swapping_saver semantics)
+- per-iteration stdout line + JSONL/TensorBoard metrics + sample grids,
+  the same artifact layout: ``samples/``, ``results/<model_dir>/``,
+  ``checkpoint/<model_dir>/``, ``logs/<model_dir>``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from biggan_tpu.checkpoint.manager import CheckpointManager
+from biggan_tpu.configs.base import GANConfig
+from biggan_tpu.data.pipeline import make_dataset, make_loader
+from biggan_tpu.parallel.mesh import create_mesh
+from biggan_tpu.parallel.sharding import batch_sharding, replicate
+from biggan_tpu.sampling.grids import save_image_grid
+from biggan_tpu.sampling.truncation import sample_z
+from biggan_tpu.training.train_state import (
+    GANTrainState,
+    build_models,
+    create_train_state,
+    param_count,
+)
+from biggan_tpu.training.train_step import make_train_step
+from biggan_tpu.utils.logging import MetricsLogger, show_all_variables
+from biggan_tpu.utils.misc import check_folder
+
+
+class BigGAN:
+    """TPU-native BigGAN with the reference's public surface."""
+
+    def __init__(self, cfg: GANConfig):
+        self.cfg = cfg
+        self.model_name = cfg.model_name  # "BigGAN"
+        self.state: Optional[GANTrainState] = None
+        self._built = False
+
+    # ref BigGAN_128.model_dir property (:~385-395)
+    @property
+    def model_dir(self) -> str:
+        return self.cfg.model_dir
+
+    # ------------------------------------------------------------- build
+    def build_model(self) -> None:
+        """Construct models, mesh, state, and compiled functions
+        (ref ``build_model``, BigGAN_128.py:~185-260 — graph construction)."""
+        cfg = self.cfg
+        self.generator_net, self.discriminator_net = build_models(cfg)
+        self.mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)
+        self._data_sharding = batch_sharding(self.mesh, batch_dim=1)
+
+        with jax.default_device(jax.devices()[0]):
+            state = create_train_state(cfg, jax.random.PRNGKey(cfg.seed))
+        self.state = replicate(state, self.mesh)
+
+        self._train_step = jax.jit(make_train_step(cfg), donate_argnums=0)
+
+        # eval/sampling head: EMA params, population stats, no state updates
+        # (ref ``self.fake_images = generator(z, is_training=False, reuse=True)``)
+        def _sample(g_ema_params, g_state, z, labels):
+            variables = {"params": g_ema_params, **g_state}
+            return self.generator_net.apply(variables, z, labels, train=False)
+
+        self._sample_fn = jax.jit(_sample)
+
+        # run-dir layout matches the reference artifact tree
+        self.checkpoint_dir = check_folder(os.path.join(cfg.checkpoint_dir, self.model_dir))
+        self.sample_dir = check_folder(cfg.sample_dir)
+        self.result_dir = check_folder(os.path.join(cfg.result_dir, self.model_dir))
+        self.log_path = check_folder(os.path.join(cfg.log_dir, self.model_dir))
+        with open(os.path.join(self.log_path, "config.json"), "w") as f:
+            f.write(cfg.to_json())
+
+        self.ckpt = CheckpointManager(self.checkpoint_dir)
+        show_all_variables("generator", self.state.g_params)
+        show_all_variables("discriminator", self.state.d_params)
+        self._built = True
+
+    def _require_built(self):
+        if not self._built:
+            raise RuntimeError("call build_model() first (reference API contract)")
+
+    # ------------------------------------------------------------- train
+    def train(self) -> None:
+        """The training loop (ref ``train``, BigGAN_128.py:~265-340)."""
+        self._require_built()
+        cfg = self.cfg
+
+        # resume (ref load() → counter parsing; here step lives in state)
+        restored = self.ckpt.restore(self.state)
+        if restored is not None:
+            self.state = replicate(restored, self.mesh)
+            print(f" [*] Load SUCCESS — resuming from step {int(self.state.step)}")
+            start_step = int(self.state.step)
+        else:
+            print(" [!] Load failed — training from scratch")
+            start_step = 0
+
+        source = make_dataset(cfg.dataset, cfg.img_size, cfg.num_classes, cfg.seed)
+        loader = make_loader(source, cfg.batch_size, cfg.n_critic)
+        logger = MetricsLogger(self.log_path)
+        self.ckpt.install_preemption_hook(lambda: self.state)
+
+        # fixed z/labels for the periodic sample grid (comparable across steps)
+        vis_rng = jax.random.PRNGKey(cfg.seed + 1)
+        self._vis_z = sample_z(vis_rng, (cfg.sample_num, cfg.z_dim), "truncated", cfg.truncation)
+        self._vis_labels = (
+            jax.random.randint(vis_rng, (cfg.sample_num,), 0, cfg.num_classes)
+            if cfg.num_classes > 0
+            else None
+        )
+
+        total_steps = cfg.epoch * cfg.iteration
+        step = start_step
+        try:
+            while step < total_steps:
+                t0 = time.time()
+                batch = next(loader)
+                batch = jax.device_put(batch, self._data_sharding)
+                self.state, metrics = self._train_step(self.state, batch)
+                step += 1
+
+                if step % cfg.print_freq == 0 or step == start_step + 1:
+                    metrics = jax.device_get(metrics)
+                    dt = time.time() - t0
+                    imgs_per_sec = cfg.batch_size * cfg.n_critic / dt
+                    epoch, idx = divmod(step - 1, cfg.iteration)
+                    logger.print_iter(epoch, idx + 1, cfg.iteration, dt, metrics, imgs_per_sec)
+                    logger.log(step, {**metrics, "images_per_sec": imgs_per_sec})
+                    self._write_train_samples(step)
+                if step % cfg.save_freq == 0:
+                    self.save()
+        finally:
+            loader.close()
+            logger.close()
+        self.save()
+        print(" [*] Training finished")
+
+    def _write_train_samples(self, step: int) -> None:
+        cfg = self.cfg
+        imgs = self._sample_fn(
+            self.state.g_ema_params, self.state.g_state, self._vis_z, self._vis_labels
+        )
+        epoch, idx = divmod(step - 1, cfg.iteration)
+        path = os.path.join(
+            self.sample_dir, f"{self.model_name}_train_{epoch:02d}_{idx + 1:05d}.png"
+        )
+        save_image_grid(np.asarray(jax.device_get(imgs)), path)
+
+    # -------------------------------------------------------------- test
+    def test(self) -> None:
+        """Inference sampling (ref ``test``, BigGAN_128.py:~345-380):
+        restore (EMA weights), draw truncated z, write PNG grids."""
+        self._require_built()
+        cfg = self.cfg
+        restored = self.ckpt.restore(self.state)
+        if restored is not None:
+            self.state = replicate(restored, self.mesh)
+            print(" [*] Load SUCCESS")
+        else:
+            print(" [!] Load failed — sampling from untrained weights")
+
+        rng = jax.random.PRNGKey(cfg.seed + 2)
+        for i in range(cfg.test_num):
+            rng, z_rng, l_rng = jax.random.split(rng, 3)
+            imgs = self.sample(cfg.sample_num, rng=z_rng, label_rng=l_rng)
+            path = os.path.join(self.result_dir, f"{self.model_name}_test_{i}.png")
+            save_image_grid(np.asarray(imgs), path)
+            print(f" [*] wrote {path}")
+
+    def sample(
+        self,
+        n: int,
+        psi: Optional[float] = None,
+        labels: Optional[jax.Array] = None,
+        rng: Optional[jax.Array] = None,
+        label_rng: Optional[jax.Array] = None,
+    ) -> np.ndarray:
+        """Truncation-trick sampling from the EMA generator."""
+        self._require_built()
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(int(time.time())) if rng is None else rng
+        psi = cfg.truncation_psi if psi is None else psi
+        z = sample_z(rng, (n, cfg.z_dim), "truncated", cfg.truncation, psi)
+        if cfg.num_classes > 0 and labels is None:
+            label_rng = rng if label_rng is None else label_rng
+            labels = jax.random.randint(label_rng, (n,), 0, cfg.num_classes)
+        imgs = self._sample_fn(self.state.g_ema_params, self.state.g_state, z, labels)
+        return np.asarray(jax.device_get(imgs))
+
+    # -------------------------------------------------------------- eval
+    def evaluate(self, num_samples: Optional[int] = None) -> dict:
+        """FID + Inception Score for the EMA generator vs the dataset
+        (new capability — the reference has no quantitative eval)."""
+        self._require_built()
+        restored = self.ckpt.restore(self.state)
+        if restored is not None:
+            self.state = replicate(restored, self.mesh)
+            print(" [*] Load SUCCESS")
+        from biggan_tpu.eval.harness import evaluate_gan
+
+        return evaluate_gan(
+            self, num_samples or self.cfg.eval_num, seed=self.cfg.seed
+        )
+
+    # ---------------------------------------------------- direct forwards
+    def generator(self, z, labels=None, is_training: bool = False, ema: bool = True):
+        """Raw generator forward (ref ``generator``, BigGAN_128.py:~65-110)."""
+        self._require_built()
+        params = self.state.g_ema_params if ema else self.state.g_params
+        variables = {"params": params, **self.state.g_state}
+        if is_training:
+            out, _ = self.generator_net.apply(
+                variables, z, labels, train=True, mutable=["batch_stats", "sn_u"]
+            )
+            return out
+        return self.generator_net.apply(variables, z, labels, train=False)
+
+    def discriminator(self, x, labels=None, is_training: bool = False):
+        """Raw discriminator forward (ref ``discriminator``, :~115-150)."""
+        self._require_built()
+        variables = {"params": self.state.d_params, **self.state.d_state}
+        if is_training:
+            out, _ = self.discriminator_net.apply(
+                variables, x, labels, train=True, mutable=["batch_stats", "sn_u"]
+            )
+            return out
+        return self.discriminator_net.apply(variables, x, labels, train=False)
+
+    # --------------------------------------------------------- save/load
+    def save(self) -> None:
+        self._require_built()
+        self.ckpt.save(jax.device_get(self.state))
+        print(f" [*] Saved checkpoint at step {int(self.state.step)}")
+
+    def load(self) -> bool:
+        self._require_built()
+        restored = self.ckpt.restore(self.state)
+        if restored is None:
+            return False
+        self.state = replicate(restored, self.mesh)
+        return True
+
+    @property
+    def num_params(self) -> dict:
+        self._require_built()
+        return {
+            "generator": param_count(self.state.g_params),
+            "discriminator": param_count(self.state.d_params),
+        }

@@ -25,6 +25,23 @@ import jax.numpy as jnp
 
 _EPS = 1e-12
 
+# Implementation selector for the power iteration: "xla" (always-correct
+# fallback) or "pallas" (fused single-HBM-pass kernel). Set once per model
+# build from ``GANConfig.sn_impl`` — an algorithm-selection knob, not
+# numerics (both paths are parity-tested in tests/test_kernels.py).
+_DEFAULT_IMPL = "xla"
+
+
+def set_sn_impl(impl: str) -> None:
+    global _DEFAULT_IMPL
+    if impl not in ("xla", "pallas"):
+        raise ValueError(f"sn_impl must be 'xla' or 'pallas', got {impl!r}")
+    _DEFAULT_IMPL = impl
+
+
+def get_sn_impl() -> str:
+    return _DEFAULT_IMPL
+
 
 def _l2_normalize(x: jax.Array, eps: float = _EPS) -> jax.Array:
     return x * jax.lax.rsqrt(jnp.sum(jnp.square(x)) + eps)
@@ -39,19 +56,52 @@ def power_iteration(w_mat: jax.Array, u: jax.Array, n_iter: int = 1):
     w32 = w_mat.astype(jnp.float32)
     u = u.astype(jnp.float32)
 
-    def body(_, u):
+    # Reference iteration order (ref ops.py:~403-430): v from the *old* u,
+    # u' from that v, and σ = vᵀ·W·u' — algebraically ‖Wᵀv‖. (Recomputing v
+    # from u' would sneak in an extra half-iteration and disagree with both
+    # the reference and the fused Pallas kernel.)
+    def body(_, uv):
+        u, _ = uv
         v = _l2_normalize(w32 @ u)  # [in]
-        u = _l2_normalize(v @ w32)  # [out]
-        return u
+        return _l2_normalize(v @ w32), v  # [out], [in]
 
-    u_new = jax.lax.fori_loop(0, n_iter, body, u) if n_iter > 1 else body(0, u)
-    v = _l2_normalize(w32 @ u_new)
-    # σ = vᵀ W u with stop-gradient on the singular vectors (ref semantics):
-    # grads flow through W only.
+    u_new, v = jax.lax.fori_loop(0, n_iter, body, (u, jnp.zeros(w32.shape[0]))) \
+        if n_iter > 1 else body(0, (u, None))
+    # σ with stop-gradient on the singular vectors: grads flow through W only.
     u_sg = jax.lax.stop_gradient(u_new)
     v_sg = jax.lax.stop_gradient(v)
     sigma = jnp.einsum("i,io,o->", v_sg, w32, u_sg)
     return sigma, jax.lax.stop_gradient(u_new)
+
+
+@jax.custom_vjp
+def _sigma_u_fused(w_mat: jax.Array, u: jax.Array):
+    """Fused-kernel power iteration: ``(W[in,out], u) → (σ, u')``.
+
+    Same stop-gradient contract as :func:`power_iteration`: ∂σ/∂W = v·u'ᵀ
+    with the singular vectors held constant; ``u'`` is carried state and
+    receives no gradient.
+    """
+    from biggan_tpu.kernels.power_iter_pallas import power_iteration_fused
+
+    return power_iteration_fused(w_mat, u)
+
+
+def _sigma_u_fused_fwd(w_mat, u):
+    sigma, u_new = _sigma_u_fused(w_mat, u)
+    return (sigma, u_new), (w_mat, u, u_new)
+
+
+def _sigma_u_fused_bwd(res, cotangents):
+    w_mat, u, u_new = res
+    g_sigma, _ = cotangents  # u' is state; its cotangent is discarded
+    w32 = w_mat.astype(jnp.float32)
+    v = _l2_normalize(w32 @ u.astype(jnp.float32))  # one matvec, not a W-pass of matmuls
+    dw = (g_sigma * jnp.outer(v, u_new)).astype(w_mat.dtype)
+    return dw, jnp.zeros_like(u)
+
+
+_sigma_u_fused.defvjp(_sigma_u_fused_fwd, _sigma_u_fused_bwd)
 
 
 def spectral_normalize(
@@ -59,6 +109,7 @@ def spectral_normalize(
     u: jax.Array,
     n_iter: int = 1,
     update: bool = True,
+    impl: str | None = None,
 ):
     """Spectrally normalize an arbitrary-rank weight ``w``.
 
@@ -68,7 +119,16 @@ def spectral_normalize(
     mutating it, ref ``BigGAN_128.py:~345`` test head).
     """
     w_mat = w.reshape(-1, w.shape[-1])
-    sigma, u_new = power_iteration(w_mat, u, n_iter=n_iter)
+    impl = _DEFAULT_IMPL if impl is None else impl
+    if impl == "pallas" and n_iter == 1:
+        from biggan_tpu.kernels import power_iter_pallas
+
+        if power_iter_pallas.supports(w_mat.shape):
+            sigma, u_new = _sigma_u_fused(w_mat, u)
+        else:
+            sigma, u_new = power_iteration(w_mat, u, n_iter=n_iter)
+    else:
+        sigma, u_new = power_iteration(w_mat, u, n_iter=n_iter)
     w_sn = (w.astype(jnp.float32) / sigma).astype(w.dtype)
     u_next = u_new if update else u
     return w_sn, u_next

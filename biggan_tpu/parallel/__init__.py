@@ -1,0 +1,7 @@
+from biggan_tpu.parallel.mesh import create_mesh  # noqa: F401
+from biggan_tpu.parallel.sharding import (  # noqa: F401
+    batch_sharding,
+    param_shardings,
+    replicate,
+    shard_batch,
+)

@@ -1,0 +1,68 @@
+"""Device mesh construction.
+
+The reference is single-process/single-GPU with zero parallelism
+(SURVEY.md §2.4); all scaling here is mesh-based GSPMD:
+
+- ``data`` axis — data parallelism: batch sharded, gradients and BN
+  moments all-reduced over ICI by XLA.
+- ``model`` axis — optional tensor parallelism for 256/512px configs
+  (large conv/dense kernels sharded on output features).
+
+On a multi-slice deployment, build the mesh from
+``jax.experimental.mesh_utils.create_hybrid_device_mesh`` so the ``data``
+axis outer dimension rides DCN and everything else stays on ICI; for
+single-slice (or the CPU test fixture) a plain contiguous mesh is right.
+Multi-host entry is ``jax.distributed.initialize()`` — call
+:func:`maybe_init_distributed` once at process start.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def maybe_init_distributed() -> None:
+    """Initialize multi-process JAX when launched under a pod runtime."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        jax.distributed.initialize()
+
+
+def create_mesh(
+    mesh_shape: Sequence[int] = (-1, 1),
+    axis_names: Sequence[str] = ("data", "model"),
+    devices: Optional[Sequence[jax.Device]] = None,
+    num_slices: int = 1,
+) -> Mesh:
+    """Build a Mesh; a single ``-1`` dim absorbs all remaining devices.
+
+    ``num_slices > 1`` requests a hybrid (DCN × ICI) mesh where the
+    leading ``data`` dimension spans slices over DCN.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    shape = list(mesh_shape)
+    if shape.count(-1) > 1:
+        raise ValueError(f"at most one -1 in mesh_shape, got {mesh_shape}")
+    known = int(np.prod([s for s in shape if s != -1]))
+    if -1 in shape:
+        if len(devices) % known != 0:
+            raise ValueError(f"{len(devices)} devices not divisible by {known}")
+        shape[shape.index(-1)] = len(devices) // known
+    total = int(np.prod(shape))
+    if total != len(devices):
+        raise ValueError(f"mesh shape {shape} needs {total} devices, have {len(devices)}")
+
+    if num_slices > 1:
+        from jax.experimental import mesh_utils
+
+        per_slice = [shape[0] // num_slices] + list(shape[1:])
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            per_slice, [num_slices] + [1] * (len(shape) - 1), devices=devices
+        )
+    else:
+        dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, tuple(axis_names))

@@ -1,0 +1,74 @@
+"""Sharding rules: how params, state, and batches lay out on the mesh.
+
+Data parallelism (the workload's natural axis — SURVEY.md §2.4): batch
+sharded on ``data``; everything GSPMD needs (gradient ``psum`` over ICI,
+global-batch BN moments) falls out of ``jit`` over the mesh.
+
+Optional tensor parallelism for HBM-bound 256/512px configs: conv/dense
+kernels whose output-feature axis is both large (≥ ``min_shard_size``) and
+divisible by the ``model`` axis get sharded on that last axis; their
+activations re-gather at layer boundaries (XLA chooses all-gather vs
+keeping sharded based on downstream use). Embeddings shard on the vocab
+axis. Everything else replicates.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# below this, the all-gather traffic costs more than the HBM it saves
+_MIN_SHARD_SIZE = 512
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data", batch_dim: int = 0) -> NamedSharding:
+    """Batch-axis sharding for data tensors.
+
+    ``batch_dim=1`` fits the train-step batch layout
+    ``[n_critic, batch, H, W, C]`` — n_critic stays replicated, the batch
+    axis shards over ``data``.
+    """
+    return NamedSharding(mesh, P(*([None] * batch_dim + [axis])))
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Device-put a host batch with the batch axis sharded over ``axis``."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Fully replicate a pytree over the mesh."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def _spec_for(path: tuple, leaf: jax.Array, model_size: int, axis: str) -> P:
+    name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+    if (
+        name in ("kernel", "embedding")
+        and leaf.ndim >= 2
+        and leaf.shape[-1] >= _MIN_SHARD_SIZE
+        and leaf.shape[-1] % model_size == 0
+    ):
+        return P(*([None] * (leaf.ndim - 1) + [axis]))
+    return P()
+
+
+def param_shardings(
+    params: Any,
+    mesh: Mesh,
+    shard_params: bool = False,
+    model_axis: str = "model",
+) -> Any:
+    """NamedSharding pytree for params: replicated, or TP-sharded kernels."""
+    if not shard_params or mesh.shape.get(model_axis, 1) == 1:
+        sh = NamedSharding(mesh, P())
+        return jax.tree.map(lambda _: sh, params)
+    model_size = mesh.shape[model_axis]
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _spec_for(path, leaf, model_size, model_axis)),
+        params,
+    )

@@ -1,0 +1,98 @@
+"""Tests for the FID / Inception Score subsystem."""
+
+import numpy as np
+import pytest
+
+from biggan_tpu.eval.fid import StreamingMoments, compute_fid, frechet_distance
+from biggan_tpu.eval.inception_score import inception_score_from_probs
+
+
+class TestFrechetDistance:
+    def test_identical_distributions_zero(self):
+        rng = np.random.RandomState(0)
+        mu = rng.randn(8)
+        a = rng.randn(64, 8)
+        cov = np.cov(a, rowvar=False)
+        assert frechet_distance(mu, cov, mu, cov) == pytest.approx(0.0, abs=1e-6)
+
+    def test_mean_shift_only(self):
+        """Equal covariances → FID = ‖Δμ‖²."""
+        cov = np.eye(4)
+        mu1, mu2 = np.zeros(4), np.array([3.0, 0, 0, 0])
+        assert frechet_distance(mu1, cov, mu2, cov) == pytest.approx(9.0, abs=1e-6)
+
+    def test_diagonal_covariances_closed_form(self):
+        # diag covs: FID = Σ (√a − √b)²  (means equal)
+        a, b = np.array([1.0, 4.0]), np.array([9.0, 16.0])
+        expected = np.sum((np.sqrt(a) - np.sqrt(b)) ** 2)
+        got = frechet_distance(np.zeros(2), np.diag(a), np.zeros(2), np.diag(b))
+        assert got == pytest.approx(expected, abs=1e-6)
+
+    def test_singular_covariance_jitter_fallback(self):
+        cov_sing = np.zeros((3, 3))  # rank 0
+        d = frechet_distance(np.zeros(3), cov_sing, np.ones(3), np.eye(3))
+        assert np.isfinite(d) and d > 0
+
+
+class TestStreamingMoments:
+    def test_matches_batch_statistics(self):
+        rng = np.random.RandomState(1)
+        data = rng.randn(500, 16)
+        m = StreamingMoments(16)
+        for chunk in np.array_split(data, 7):
+            m.update(chunk)
+        mu, cov = m.finalize()
+        np.testing.assert_allclose(mu, data.mean(axis=0), atol=1e-10)
+        np.testing.assert_allclose(cov, np.cov(data, rowvar=False), atol=1e-10)
+
+
+class TestInceptionScore:
+    def test_uniform_probs_score_one(self):
+        probs = np.full((100, 10), 0.1)
+        mean, std = inception_score_from_probs(probs, splits=2)
+        assert mean == pytest.approx(1.0, abs=1e-6)
+
+    def test_confident_diverse_is_high(self):
+        """One-hot over many classes, uniformly covered → IS ≈ num_classes."""
+        n_cls = 10
+        probs = np.eye(n_cls)[np.arange(200) % n_cls]
+        # smooth slightly to avoid log(0)
+        probs = probs * 0.999 + 0.001 / n_cls
+        mean, _ = inception_score_from_probs(probs, splits=1)
+        assert mean == pytest.approx(n_cls, rel=0.05)
+
+    def test_mode_collapse_is_low(self):
+        probs = np.zeros((100, 10))
+        probs[:, 3] = 1.0
+        probs = probs * 0.999 + 0.001 / 10
+        mean, _ = inception_score_from_probs(probs, splits=1)
+        assert mean < 1.1
+
+
+class TestInceptionNetwork:
+    def test_feature_shapes_and_fid_sanity(self, rng):
+        """Random-init Inception: features have the right shape and FID
+        separates identical from shifted image distributions."""
+        import jax
+
+        from biggan_tpu.eval.inception import FEATURE_DIM, load_params, make_feature_fn
+
+        params, pretrained = load_params(seed=0)
+        assert not pretrained  # no weights file in this environment
+        feature_fn = make_feature_fn(params)
+
+        imgs_a = jax.random.uniform(rng, (4, 32, 32, 3), minval=-1, maxval=1)
+        feats, probs = feature_fn(imgs_a)
+        assert feats.shape == (4, FEATURE_DIM)
+        assert probs.shape[0] == 4
+        np.testing.assert_allclose(np.asarray(probs).sum(axis=-1), 1.0, rtol=1e-4)
+
+        # same batch twice → FID 0; shifted batch → FID > 0
+        def batches(x):
+            return [np.asarray(x[:2]), np.asarray(x[2:])]
+
+        fid_same = compute_fid(batches(imgs_a), batches(imgs_a), feature_fn, max_samples=4)
+        assert fid_same == pytest.approx(0.0, abs=1e-3)
+        imgs_b = np.clip(np.asarray(imgs_a) * 0.2 + 0.5, -1, 1)
+        fid_diff = compute_fid(batches(imgs_a), batches(imgs_b), feature_fn, max_samples=4)
+        assert fid_diff > fid_same

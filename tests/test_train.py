@@ -1,0 +1,166 @@
+"""Integration tests: 2-step train on synthetic data (SURVEY.md §4).
+
+Losses finite, EMA ≠ raw params, SN u mutates, checkpoint→restore→resume
+round-trips, sample grid PNG written.
+"""
+
+import numpy as np
+import pytest
+
+from biggan_tpu.configs import GANConfig, get_config
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        dataset="synthetic", img_size=32, ch=8, z_dim=16, num_classes=4,
+        batch_size=8, epoch=1, iteration=2, print_freq=1, save_freq=2,
+        sample_num=4, test_num=1, compute_dtype="float32",
+        g_lr=1e-3, d_lr=1e-3,
+    )
+    base.update(kw)
+    return GANConfig(**base)
+
+
+def make_batch(cfg, seed=0):
+    rng = np.random.RandomState(seed)
+    batch = {
+        "image": rng.randint(
+            0, 256, (cfg.n_critic, cfg.batch_size, cfg.img_size, cfg.img_size, 3)
+        ).astype(np.uint8),
+    }
+    if cfg.num_classes > 0:
+        batch["label"] = rng.randint(0, cfg.num_classes, (cfg.n_critic, cfg.batch_size)).astype(np.int32)
+    return batch
+
+
+def run_steps(cfg, n=2):
+    import jax
+
+    from biggan_tpu.training.train_state import create_train_state
+    from biggan_tpu.training.train_step import make_train_step
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step_fn = jax.jit(make_train_step(cfg))
+    metrics = None
+    for i in range(n):
+        state, metrics = step_fn(state, make_batch(cfg, seed=i))
+    return state, metrics
+
+
+def test_two_step_train_state_evolution():
+    import jax
+
+    cfg = tiny_cfg()
+    state0 = None
+    from biggan_tpu.training.train_state import create_train_state
+
+    state0 = create_train_state(cfg, jax.random.PRNGKey(0))
+    state, metrics = run_steps(cfg, n=2)
+
+    assert int(state.step) == 2
+    for k in ("d_loss", "g_loss", "d_grad_norm", "g_grad_norm"):
+        assert np.isfinite(float(metrics[k])), (k, metrics[k])
+
+    # EMA diverged from raw params (they started equal)
+    diffs = jax.tree.map(
+        lambda e, p: float(np.abs(np.asarray(e) - np.asarray(p)).max()),
+        state.g_ema_params, state.g_params,
+    )
+    assert max(jax.tree.leaves(diffs)) > 0.0
+
+    # SN u actually mutated during training
+    u0 = jax.tree.leaves(state0.g_state["sn_u"])[0]
+    u1 = jax.tree.leaves(state.g_state["sn_u"])[0]
+    assert not np.allclose(np.asarray(u0), np.asarray(u1))
+
+    # BN pop stats moved off their init
+    bn_means = [np.asarray(x) for x in jax.tree.leaves(state.d_state["batch_stats"])]
+    assert any(np.abs(m).max() > 0 for m in bn_means)
+
+
+@pytest.mark.parametrize("gan_type", ["hinge", "wgan-gp", "gan"])
+def test_gan_types_train(gan_type):
+    cfg = tiny_cfg(gan_type=gan_type)
+    _, metrics = run_steps(cfg, n=1)
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert np.isfinite(float(metrics["g_loss"]))
+
+
+def test_n_critic_and_grad_accum():
+    cfg = tiny_cfg(n_critic=2, grad_accum=2)
+    state, metrics = run_steps(cfg, n=1)
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["d_loss"]))
+
+
+def test_unconditional_mode():
+    cfg = tiny_cfg(num_classes=0)
+    _, metrics = run_steps(cfg, n=1)
+    assert np.isfinite(float(metrics["g_loss"]))
+
+
+def test_facade_train_test_checkpoint_roundtrip(tmp_path, monkeypatch):
+    """The reference workflow: build → train → save → fresh object → test."""
+    monkeypatch.chdir(tmp_path)
+    from biggan_tpu.models.biggan import BigGAN
+
+    cfg = tiny_cfg()
+    gan = BigGAN(cfg)
+    gan.build_model()
+    gan.train()
+
+    assert (tmp_path / "samples").exists()
+    pngs = list((tmp_path / "samples").glob("*.png"))
+    assert pngs, "no train sample grids written"
+    assert (tmp_path / "logs" / cfg.model_dir / "config.json").exists()
+    assert (tmp_path / "logs" / cfg.model_dir / "metrics.jsonl").exists()
+
+    # fresh object restores the checkpoint and resumes at the saved step
+    gan2 = BigGAN(cfg)
+    gan2.build_model()
+    assert gan2.load(), "checkpoint restore failed"
+    assert int(gan2.state.step) == cfg.epoch * cfg.iteration
+    np.testing.assert_allclose(
+        np.asarray(gan2.state.g_ema_params["fc_seed"]["kernel"]),
+        np.asarray(gan.state.g_ema_params["fc_seed"]["kernel"]),
+    )
+
+    gan2.test()
+    results = list((tmp_path / "results" / cfg.model_dir).glob("*.png"))
+    assert len(results) == cfg.test_num
+
+
+def test_sample_shapes_and_range(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from biggan_tpu.models.biggan import BigGAN
+
+    cfg = tiny_cfg()
+    gan = BigGAN(cfg)
+    gan.build_model()
+    import jax
+
+    imgs = gan.sample(4, psi=0.5, rng=jax.random.PRNGKey(0))
+    assert imgs.shape == (4, 32, 32, 3)
+    assert imgs.min() >= -1.0 and imgs.max() <= 1.0
+
+
+def test_preset_configs_valid():
+    for name in ("biggan32_cifar10", "biggan64_imagenet", "biggan128_paper",
+                 "biggan256_ici", "biggan512_pod"):
+        cfg = get_config(name)
+        assert cfg.img_size in (32, 64, 128, 256, 512)
+
+
+def test_cli_parses_reference_flags():
+    from biggan_tpu.cli import parse_args
+
+    cfg = parse_args([
+        "--phase", "train", "--dataset", "synthetic", "--img_size", "64",
+        "--ch", "32", "--z_dim", "80", "--sn", "True", "--gan_type", "hinge",
+        "--batch_size", "16", "--epoch", "2", "--iteration", "5",
+    ])
+    assert cfg.img_size == 64 and cfg.ch == 32 and cfg.z_dim == 80
+    assert cfg.sn is True and cfg.batch_size == 16
+
+    cfg = parse_args(["--config", "biggan128_paper", "--batch_size", "8"])
+    assert cfg.img_size == 128 and cfg.batch_size == 8
