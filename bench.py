@@ -25,6 +25,8 @@ def run_bench(
     ch: int = 96,
     warmup: int = 3,
     iters: int = 10,
+    attn_impl: str = "xla",
+    sn_impl: str = "xla",
 ) -> dict:
     import jax
 
@@ -44,6 +46,8 @@ def run_bench(
         num_classes=1000,
         compute_dtype="bfloat16",
         dataset="synthetic",
+        attn_impl=attn_impl,
+        sn_impl=sn_impl,
     )
     mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)
     state = replicate(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)

@@ -1,0 +1,287 @@
+// Native data loader: threaded JPEG/PNG decode + bilinear resize.
+//
+// The reference's input pipeline runs inside tf.data's C++ runtime
+// (ref BigGAN_128.py:~188-194 — map_and_batch(parallel=16) + prefetch);
+// this is the equivalent native component for the TPU framework: a worker
+// pool decodes and resizes images into ready uint8 batches behind a
+// bounded queue, so the Python train loop only memcpy's and ships to the
+// chip. Exposed as a C API consumed via ctypes
+// (biggan_tpu/data/native_loader.py).
+//
+// Build: g++ -O3 -march=native -shared -fPIC loader.cc -o libbtloader.so -ljpeg -lpng -lpthread
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+#include <png.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <csetjmp>
+#include <deque>
+#include <fstream>
+#include <mutex>
+#include <random>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Image {
+  std::vector<uint8_t> rgb;  // H*W*3
+  int w = 0, h = 0;
+};
+
+// ---------------------------------------------------------------- decode
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jmp;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jmp, 1);
+}
+
+bool decode_jpeg(const uint8_t* data, size_t size, Image* out) {
+  jpeg_decompress_struct cinfo;
+  JpegErr err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(err.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, size);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  out->w = cinfo.output_width;
+  out->h = cinfo.output_height;
+  out->rgb.resize(size_t(out->w) * out->h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->rgb.data() + size_t(cinfo.output_scanline) * out->w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+bool decode_png(const uint8_t* data, size_t size, Image* out) {
+  png_image img;
+  std::memset(&img, 0, sizeof(img));
+  img.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&img, data, size)) return false;
+  img.format = PNG_FORMAT_RGB;
+  out->w = img.width;
+  out->h = img.height;
+  out->rgb.resize(PNG_IMAGE_SIZE(img));
+  if (!png_image_finish_read(&img, nullptr, out->rgb.data(), 0, nullptr)) {
+    png_image_free(&img);
+    return false;
+  }
+  return true;
+}
+
+bool decode_file(const std::string& path, Image* out) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) return false;
+  std::vector<uint8_t> buf((std::istreambuf_iterator<char>(f)),
+                           std::istreambuf_iterator<char>());
+  if (buf.size() < 8) return false;
+  if (buf[0] == 0xFF && buf[1] == 0xD8) return decode_jpeg(buf.data(), buf.size(), out);
+  if (buf[0] == 0x89 && buf[1] == 'P') return decode_png(buf.data(), buf.size(), out);
+  return false;
+}
+
+// ---------------------------------------------------------------- resize
+
+// PIL-convention BILINEAR resampling: separable triangle filter with
+// support scaled by the downscale factor (antialiased), half-pixel
+// centers. Matches PIL.Image.resize(..., BILINEAR) to rounding — the
+// Python fallback pipeline uses PIL, and the two paths must feed the
+// trainer the same distribution (tests/test_native_loader.py).
+struct FilterTaps {
+  std::vector<int> first;      // per output index: first source index
+  std::vector<int> count;      // taps per output index
+  std::vector<float> weights;  // [out, max_count] row-major, normalized
+  int max_count = 0;
+};
+
+FilterTaps triangle_taps(int in_size, int out_size) {
+  FilterTaps t;
+  const double scale = double(in_size) / out_size;
+  const double fscale = scale < 1.0 ? 1.0 : scale;
+  const double support = 1.0 * fscale;  // bilinear filter support = 1
+  t.max_count = int(support) * 2 + 2;
+  t.first.resize(out_size);
+  t.count.resize(out_size);
+  t.weights.assign(size_t(out_size) * t.max_count, 0.f);
+  for (int x = 0; x < out_size; ++x) {
+    double center = (x + 0.5) * scale;
+    int xmin = int(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = int(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    double total = 0;
+    float* w = &t.weights[size_t(x) * t.max_count];
+    for (int i = xmin; i < xmax; ++i) {
+      double d = (i + 0.5 - center) / fscale;
+      double v = d < 0 ? 1.0 + d : 1.0 - d;  // triangle
+      if (v < 0) v = 0;
+      w[i - xmin] = float(v);
+      total += v;
+    }
+    if (total > 0)
+      for (int i = 0; i < xmax - xmin; ++i) w[i] = float(w[i] / total);
+    t.first[x] = xmin;
+    t.count[x] = xmax - xmin;
+  }
+  return t;
+}
+
+void resize_bilinear(const Image& src, int size, uint8_t* dst) {
+  FilterTaps hx = triangle_taps(src.w, size);
+  FilterTaps vy = triangle_taps(src.h, size);
+  // horizontal pass: [src.h, size, 3] float
+  std::vector<float> tmp(size_t(src.h) * size * 3);
+  for (int y = 0; y < src.h; ++y) {
+    const uint8_t* row = &src.rgb[size_t(y) * src.w * 3];
+    float* orow = &tmp[size_t(y) * size * 3];
+    for (int x = 0; x < size; ++x) {
+      const float* w = &hx.weights[size_t(x) * hx.max_count];
+      float acc[3] = {0, 0, 0};
+      for (int k = 0; k < hx.count[x]; ++k) {
+        const uint8_t* p = row + size_t(hx.first[x] + k) * 3;
+        acc[0] += w[k] * p[0];
+        acc[1] += w[k] * p[1];
+        acc[2] += w[k] * p[2];
+      }
+      orow[x * 3 + 0] = acc[0];
+      orow[x * 3 + 1] = acc[1];
+      orow[x * 3 + 2] = acc[2];
+    }
+  }
+  // vertical pass
+  for (int y = 0; y < size; ++y) {
+    const float* w = &vy.weights[size_t(y) * vy.max_count];
+    uint8_t* orow = dst + size_t(y) * size * 3;
+    for (int x = 0; x < size; ++x) {
+      float acc[3] = {0, 0, 0};
+      for (int k = 0; k < vy.count[y]; ++k) {
+        const float* p = &tmp[(size_t(vy.first[y] + k) * size + x) * 3];
+        acc[0] += w[k] * p[0];
+        acc[1] += w[k] * p[1];
+        acc[2] += w[k] * p[2];
+      }
+      for (int c = 0; c < 3; ++c) {
+        float v = acc[c] + 0.5f;
+        orow[x * 3 + c] = uint8_t(v < 0 ? 0 : (v > 255 ? 255 : v));
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------- loader
+
+struct Batch {
+  std::vector<uint8_t> images;  // B*S*S*3
+  std::vector<int32_t> labels;  // B
+};
+
+struct Loader {
+  std::vector<std::string> files;
+  std::vector<int32_t> labels;
+  int img_size, batch;
+  size_t queue_cap;
+  std::atomic<bool> stop{false};
+  std::deque<Batch> queue;
+  std::mutex mu;
+  std::condition_variable cv_put, cv_get;
+  std::vector<std::thread> threads;
+  std::atomic<uint64_t> seed_ctr;
+
+  Loader(int n_threads, uint64_t seed) : seed_ctr(seed) {
+    (void)n_threads;
+  }
+
+  void worker(uint64_t seed) {
+    std::mt19937_64 rng(seed);
+    while (!stop.load(std::memory_order_relaxed)) {
+      Batch b;
+      b.images.resize(size_t(batch) * img_size * img_size * 3);
+      b.labels.resize(batch, 0);
+      for (int i = 0; i < batch; ++i) {
+        // resample on decode failure (corrupt file) rather than aborting
+        for (int attempt = 0; attempt < 16; ++attempt) {
+          size_t idx = rng() % files.size();
+          Image img;
+          if (decode_file(files[idx], &img) && img.w > 0 && img.h > 0) {
+            resize_bilinear(img, img_size,
+                            b.images.data() + size_t(i) * img_size * img_size * 3);
+            if (!labels.empty()) b.labels[i] = labels[idx];
+            break;
+          }
+        }
+      }
+      std::unique_lock<std::mutex> lk(mu);
+      cv_put.wait(lk, [&] { return queue.size() < queue_cap || stop; });
+      if (stop) return;
+      queue.push_back(std::move(b));
+      cv_get.notify_one();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* bt_loader_create(const char** paths, int n_files, const int32_t* labels,
+                       int img_size, int batch, int n_threads, int queue_cap,
+                       uint64_t seed) {
+  if (n_files <= 0 || batch <= 0 || img_size <= 0) return nullptr;
+  auto* L = new Loader(n_threads, seed);
+  L->files.assign(paths, paths + n_files);
+  if (labels) L->labels.assign(labels, labels + n_files);
+  L->img_size = img_size;
+  L->batch = batch;
+  L->queue_cap = queue_cap > 0 ? queue_cap : 4;
+  for (int t = 0; t < (n_threads > 0 ? n_threads : 4); ++t)
+    L->threads.emplace_back(&Loader::worker, L, seed * 0x9E3779B97F4A7C15ULL + t);
+  return L;
+}
+
+// Blocking: fills out_images [batch, S, S, 3] u8 and out_labels [batch] i32.
+int bt_loader_next(void* handle, uint8_t* out_images, int32_t* out_labels) {
+  auto* L = static_cast<Loader*>(handle);
+  Batch b;
+  {
+    std::unique_lock<std::mutex> lk(L->mu);
+    L->cv_get.wait(lk, [&] { return !L->queue.empty() || L->stop; });
+    if (L->stop && L->queue.empty()) return -1;
+    b = std::move(L->queue.front());
+    L->queue.pop_front();
+    L->cv_put.notify_one();
+  }
+  std::memcpy(out_images, b.images.data(), b.images.size());
+  if (out_labels) std::memcpy(out_labels, b.labels.data(), b.labels.size() * 4);
+  return 0;
+}
+
+void bt_loader_destroy(void* handle) {
+  auto* L = static_cast<Loader*>(handle);
+  L->stop = true;
+  L->cv_put.notify_all();
+  L->cv_get.notify_all();
+  for (auto& t : L->threads) t.join();
+  delete L;
+}
+
+}  // extern "C"

@@ -1,0 +1,130 @@
+"""ctypes bindings for the native C++ data loader.
+
+The native loader (``data/native/loader.cc``) is the TPU framework's
+counterpart of the reference's tf.data C++ input runtime
+(ref ``BigGAN_128.py:~188-194``): a worker pool decodes JPEG/PNG and
+bilinear-resizes on host threads, handing ready uint8 batches to Python
+through a bounded queue with zero per-image Python overhead.
+
+The shared library is compiled on first use (g++, cached next to the
+source, rebuilt when the source is newer). If the toolchain or headers
+are missing, callers fall back to the PIL pipeline
+(:class:`biggan_tpu.data.pipeline.ImageFolderSource`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "native", "loader.cc")
+_LIB = os.path.join(os.path.dirname(__file__), "native", "libbtloader.so")
+_build_lock = threading.Lock()
+
+
+def _build() -> str:
+    with _build_lock:
+        if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+            return _LIB
+        cmd = [
+            "g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
+            "-o", _LIB, "-ljpeg", "-lpng", "-lpthread",
+        ]
+        subprocess.run(cmd, check=True, capture_output=True)
+        return _LIB
+
+
+_lib_handle = None
+
+
+def _lib() -> ctypes.CDLL:
+    global _lib_handle
+    if _lib_handle is None:
+        lib = ctypes.CDLL(_build())
+        lib.bt_loader_create.restype = ctypes.c_void_p
+        lib.bt_loader_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+        ]
+        lib.bt_loader_next.restype = ctypes.c_int
+        lib.bt_loader_next.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.bt_loader_destroy.argtypes = [ctypes.c_void_p]
+        _lib_handle = lib
+    return _lib_handle
+
+
+def available() -> bool:
+    try:
+        _lib()
+        return True
+    except (subprocess.CalledProcessError, OSError):
+        return False
+
+
+class NativeImageFolderSource:
+    """Drop-in replacement for ``ImageFolderSource`` backed by the C++
+    worker pool. Same ``batch(n)`` contract; batches are pre-assembled at
+    a fixed size, so ``n`` must be constant per instance (it is — the
+    train loop always asks for ``n_critic·batch_size``)."""
+
+    def __init__(self, files, labels, img_size: int, batch: int,
+                 n_threads: int = 8, queue_cap: int = 4, seed: int = 0):
+        if not files:
+            raise FileNotFoundError("native loader: empty file list")
+        self.img_size, self.batch_size = img_size, batch
+        self.num_classes = int(labels.max()) + 1 if labels is not None else 0
+        self._files = [f.encode() for f in files]
+        arr = (ctypes.c_char_p * len(self._files))(*self._files)
+        if labels is not None:
+            labels = np.ascontiguousarray(labels, np.int32)
+            self._labels_keepalive = labels
+            lab_ptr = labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        else:
+            lab_ptr = None
+        self._has_labels = labels is not None
+        self._handle = _lib().bt_loader_create(
+            arr, len(self._files), lab_ptr, img_size, batch,
+            n_threads, queue_cap, seed,
+        )
+        if not self._handle:
+            raise RuntimeError("bt_loader_create failed")
+
+    def batch(self, n: int) -> dict:
+        if n != self.batch_size:
+            raise ValueError(
+                f"native loader built for batch {self.batch_size}, got {n}"
+            )
+        images = np.empty((n, self.img_size, self.img_size, 3), np.uint8)
+        labels = np.empty((n,), np.int32)
+        rc = _lib().bt_loader_next(
+            self._handle,
+            images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc != 0:
+            raise RuntimeError("native loader stopped")
+        out = {"image": images}
+        if self._has_labels:
+            out["label"] = labels
+        return out
+
+    def close(self):
+        if getattr(self, "_handle", None):
+            _lib().bt_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -157,11 +157,57 @@ def make_dataset(
     return ImageFolderSource(root, img_size, seed)
 
 
+class _NativeLoaderAdapter:
+    """Iterator over the C++ loader's fixed-size batches, reshaped to the
+    train step's ``[n_critic, batch_size, ...]`` layout."""
+
+    def __init__(self, native_source, batch_shape: tuple):
+        self._src = native_source
+        self._shape = batch_shape  # (n_critic, batch_size)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> dict:
+        n_critic, bs = self._shape
+        b = self._src.batch(n_critic * bs)
+        out = {"image": b["image"].reshape(n_critic, bs, *b["image"].shape[1:])}
+        if "label" in b:
+            out["label"] = b["label"].reshape(n_critic, bs)
+        return out
+
+    def close(self):
+        self._src.close()
+
+
 def make_loader(
     source,
     batch_size: int,
     n_critic: int = 1,
     prefetch: int = 4,
     workers: int = 4,
-) -> PrefetchLoader:
+    native: str = "auto",  # "auto" | "off" — C++ decode pool when possible
+    seed: int = 0,
+):
+    """Build the batch producer feeding the train loop.
+
+    For on-disk image folders the native C++ loader (decode + resize in a
+    worker pool, the reference's tf.data-C++-runtime counterpart) is used
+    when it compiles; anything else — or ``native="off"`` — uses the
+    Python thread pool around ``source.batch``.
+    """
+    if native == "auto" and isinstance(source, ImageFolderSource):
+        from biggan_tpu.data import native_loader
+
+        if native_loader.available():
+            nsrc = native_loader.NativeImageFolderSource(
+                source.files,
+                source.labels,
+                source.img_size,
+                n_critic * batch_size,
+                n_threads=max(workers * 2, 8),
+                queue_cap=prefetch,
+                seed=seed,
+            )
+            return _NativeLoaderAdapter(nsrc, (n_critic, batch_size))
     return PrefetchLoader(source, (n_critic, batch_size), prefetch, workers)

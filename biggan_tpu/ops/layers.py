@@ -137,9 +137,13 @@ class SNConvTranspose2D(nn.Module, _SNMixin):
         sh, sw = _pair(self.strides)
         w = self.param("kernel", kernel_init, (kh, kw, x.shape[-1], self.features), jnp.float32)
         w = self._maybe_sn(w, self.use_sn, update_sn)
+        # TF's conv2d_transpose is the *gradient* of conv (spatially flipped
+        # kernel); lax.conv_transpose convolves unflipped. Flip here so
+        # outputs — and imported reference checkpoints — match TF exactly
+        # (verified in tests/test_tf_parity.py).
         y = jax.lax.conv_transpose(
             x.astype(self.dtype),
-            w.astype(self.dtype),
+            w[::-1, ::-1].astype(self.dtype),
             strides=(sh, sw),
             padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
