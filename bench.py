@@ -27,6 +27,7 @@ def run_bench(
     iters: int = 10,
     attn_impl: str = "xla",
     sn_impl: str = "xla",
+    **config_overrides,
 ) -> dict:
     import jax
 
@@ -48,6 +49,7 @@ def run_bench(
         dataset="synthetic",
         attn_impl=attn_impl,
         sn_impl=sn_impl,
+        **config_overrides,
     )
     mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)
     state = replicate(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)

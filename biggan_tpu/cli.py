@@ -68,7 +68,14 @@ def parse_args(argv=None) -> GANConfig:
     parser.add_argument("--attn_impl", type=str, default=None, choices=["xla", "pallas"])
     parser.add_argument("--sn_impl", type=str, default=None, choices=["xla", "pallas"])
     parser.add_argument("--remat", type=str2bool, default=None)
+    parser.add_argument("--profile_steps", type=int, default=None,
+                        help=">0: capture a jax.profiler trace of N train steps")
+    parser.add_argument("--tf_import", type=str, default=None,
+                        help="path to a reference BigGAN-Tensorflow checkpoint "
+                             "to import into the model at startup")
     parser.add_argument("--shard_params", type=str2bool, default=None)
+    parser.add_argument("--log_sigma", type=str2bool, default=None,
+                        help="log per-layer spectral-norm sigma at print_freq")
     parser.add_argument("--seed", type=int, default=None)
 
     args = parser.parse_args(argv)
@@ -88,6 +95,8 @@ def main(argv=None) -> int:
     maybe_init_distributed()
     gan = BigGAN(cfg)
     gan.build_model()  # ref main(): build_model → show_all_variables → phase dispatch
+    if cfg.tf_import:
+        gan.load_tf_checkpoint(cfg.tf_import)
     if cfg.phase == "train":
         gan.train()
         print(" [*] Training finished!")

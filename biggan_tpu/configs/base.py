@@ -74,6 +74,9 @@ class GANConfig:
     mesh_axes: Tuple[str, ...] = ("data", "model")
     shard_params: bool = False  # shard big kernels over the model axis (TP)
     remat: bool = False  # jax.checkpoint on blocks to trade FLOPs for HBM
+    profile_steps: int = 0  # >0: capture a jax.profiler trace of N steps to logs
+    tf_import: str = ""  # path to a reference TF checkpoint to import at startup
+    log_sigma: bool = False  # log per-layer σ(W) estimates at print_freq
     seed: int = 0
 
     def __post_init__(self):

@@ -66,17 +66,25 @@ def _kernel(w_ref, u_ref, sigma_ref, u_out_ref, t_acc, h2_acc):
         u_out_ref[:] = (t / sigma).astype(u_out_ref.dtype)
 
 
-def _pick_block_rows(n_in: int) -> int:
-    for br in (1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
-        if n_in % br == 0 and br * MAX_OUT * 4 <= 8 * 1024 * 1024:
+_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def _pick_block_rows(n_in: int, n_out: int) -> int:
+    """Row-block size satisfying the Mosaic constraint: a block's last two
+    dims must be divisible by (8, 128) or equal the full array dims.
+    Returns 0 when no legal tiling exists (caller falls back to XLA)."""
+    if n_in * n_out * 4 <= _VMEM_BUDGET:
+        return n_in  # whole array in one block — always legal
+    for br in (1024, 512, 256, 128, 64, 32, 16, 8):  # all divisible by 8
+        if n_in % br == 0 and br * n_out * 4 <= _VMEM_BUDGET:
             return br
-    return n_in
+    return 0
 
 
 @functools.partial(jax.jit, static_argnames=())
 def _power_iter_call(w_mat: jax.Array, u: jax.Array):
     n_in, n_out = w_mat.shape
-    block_rows = _pick_block_rows(n_in)
+    block_rows = _pick_block_rows(n_in, n_out)
     u2 = u.reshape(1, n_out)
     sigma, u_new = pl.pallas_call(
         _kernel,
@@ -110,7 +118,7 @@ def _power_iter_call(w_mat: jax.Array, u: jax.Array):
 def supports(w_mat_shape) -> bool:
     """Whether the fused kernel handles this ``[in, out]`` shape."""
     n_in, n_out = w_mat_shape
-    return n_out <= MAX_OUT and n_in >= 1
+    return n_out <= MAX_OUT and n_in >= 1 and _pick_block_rows(n_in, n_out) > 0
 
 
 def power_iteration_fused(w_mat: jax.Array, u: jax.Array):

@@ -129,16 +129,28 @@ class BigGAN:
 
         total_steps = cfg.epoch * cfg.iteration
         step = start_step
+        # profiler trace window: skip the first (compile) step, then
+        # capture cfg.profile_steps steps into logs/<model_dir>/profile
+        profile_start = start_step + 2 if cfg.profile_steps > 0 else -1
+        profile_stop = profile_start + cfg.profile_steps
         try:
             while step < total_steps:
+                if step == profile_start:
+                    jax.profiler.start_trace(os.path.join(self.log_path, "profile"))
                 t0 = time.time()
                 batch = next(loader)
                 batch = jax.device_put(batch, self._data_sharding)
                 self.state, metrics = self._train_step(self.state, batch)
                 step += 1
+                if step == profile_stop:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                    print(f" [*] wrote profiler trace ({cfg.profile_steps} steps)")
 
                 if step % cfg.print_freq == 0 or step == start_step + 1:
                     metrics = jax.device_get(metrics)
+                    if cfg.log_sigma:
+                        metrics.update(jax.device_get(self._sigma_metrics()))
                     dt = time.time() - t0
                     imgs_per_sec = cfg.batch_size * cfg.n_critic / dt
                     epoch, idx = divmod(step - 1, cfg.iteration)
@@ -152,6 +164,21 @@ class BigGAN:
             logger.close()
         self.save()
         print(" [*] Training finished")
+
+    def _sigma_metrics(self) -> dict:
+        from biggan_tpu.ops.sn import sigma_metrics
+
+        @jax.jit
+        def compute(g_params, g_sn, d_params, d_sn):
+            return {
+                **sigma_metrics(g_params, g_sn, "g_"),
+                **sigma_metrics(d_params, d_sn, "d_"),
+            }
+
+        return compute(
+            self.state.g_params, self.state.g_state.get("sn_u", {}),
+            self.state.d_params, self.state.d_state.get("sn_u", {}),
+        )
 
     def _write_train_samples(self, step: int) -> None:
         cfg = self.cfg
@@ -249,6 +276,20 @@ class BigGAN:
         self._require_built()
         self.ckpt.save(jax.device_get(self.state))
         print(f" [*] Saved checkpoint at step {int(self.state.step)}")
+
+    def load_tf_checkpoint(self, ckpt_path: str, strict: bool = False) -> None:
+        """Import a reference BigGAN-Tensorflow checkpoint (SURVEY §5):
+        EMA generator weights land in both raw and EMA slots
+        (swapping_saver semantics), SN u / BN stats included."""
+        self._require_built()
+        from biggan_tpu.checkpoint.tf_import import import_tf_checkpoint
+
+        host_state = jax.device_get(self.state)
+        new_state, report = import_tf_checkpoint(ckpt_path, host_state, strict=strict)
+        self.state = replicate(new_state, self.mesh)
+        print(f" [*] TF checkpoint imported: {report.summary()}")
+        if report.unmatched_tree:
+            print(f" [!] unmatched pytree leaves: {report.unmatched_tree[:5]} ...")
 
     def load(self) -> bool:
         self._require_built()

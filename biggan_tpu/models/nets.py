@@ -57,6 +57,7 @@ class Generator(nn.Module):
     use_sn: bool = True
     up_mode: str = "deconv"  # "deconv" (ref) | "nn_conv" (paper)
     attn_impl: str = "xla"  # "xla" | "pallas"
+    remat: bool = False  # jax.checkpoint each block: trade FLOPs for HBM
     out_channels: int = 3
     dtype: jnp.dtype = jnp.float32
 
@@ -88,15 +89,21 @@ class Generator(nn.Module):
         )
         h = h.reshape(h.shape[0], s, s, seed_ch)
 
+        # remat: recompute each block's activations in backward — HBM for
+        # FLOPs, the standard trade at 256/512px (SURVEY §7). train/axis_name
+        # are static; pass positionally for static_argnums.
+        BlockUp = (
+            nn.remat(ResBlockUp, static_argnums=(2, 3)) if self.remat else ResBlockUp
+        )
         res = s
         for i, mult in enumerate(arch.g_ch_mults):
-            h = ResBlockUp(
+            h = BlockUp(
                 mult * self.ch,
                 use_sn=self.use_sn,
                 up_mode=self.up_mode,
                 dtype=self.dtype,
                 name=f"block_up_{i}",
-            )(h, conds[i], train=train, axis_name=axis_name)
+            )(h, conds[i], train, axis_name)
             res *= 2
             if arch.attn_res is not None and res == arch.attn_res:
                 h = SelfAttention(
@@ -122,6 +129,7 @@ class Discriminator(nn.Module):
     use_sn: bool = True
     use_d_norm: bool = True  # ref keeps BN in D; set False for paper-style SN-only D
     attn_impl: str = "xla"
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -133,16 +141,19 @@ class Discriminator(nn.Module):
         axis_name: Optional[str] = None,
     ) -> jax.Array:
         arch = get_arch(self.img_size)
+        BlockDown = (
+            nn.remat(ResBlockDown, static_argnums=(1, 2)) if self.remat else ResBlockDown
+        )
         h = x.astype(self.dtype)
         res = self.img_size
         for i, mult in enumerate(arch.d_ch_mults):
-            h = ResBlockDown(
+            h = BlockDown(
                 mult * self.ch,
                 use_sn=self.use_sn,
                 use_norm=self.use_d_norm,
                 dtype=self.dtype,
                 name=f"block_down_{i}",
-            )(h, train=train, axis_name=axis_name)
+            )(h, train, axis_name)
             res //= 2
             if arch.attn_res is not None and res == arch.attn_res:
                 h = SelfAttention(

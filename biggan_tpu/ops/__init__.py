@@ -20,4 +20,12 @@ from biggan_tpu.ops.losses import (  # noqa: F401
     gradient_penalty,
     orthogonal_regularization,
 )
-from biggan_tpu.ops.pooling import global_sum_pool, up_sample  # noqa: F401
+from biggan_tpu.ops.pooling import (  # noqa: F401
+    avg_pool,
+    flatten,
+    global_avg_pool,
+    global_sum_pool,
+    hw_flatten,
+    max_pool,
+    up_sample,
+)

@@ -41,6 +41,18 @@ def global_sum_pool(x: jax.Array) -> jax.Array:
     return jnp.sum(x.astype(jnp.float32), axis=(1, 2)).astype(x.dtype)
 
 
+def flatten(x: jax.Array) -> jax.Array:
+    """[B, ...] → [B, prod(...)] (ref ``flatten``, ops.py:~138)."""
+    return x.reshape(x.shape[0], -1)
+
+
+def hw_flatten(x: jax.Array) -> jax.Array:
+    """[B, H, W, C] → [B, H·W, C] — the attention token view
+    (ref ``hw_flatten``, ops.py:~141-144)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h * w, c)
+
+
 def up_sample(x: jax.Array, scale: int = 2) -> jax.Array:
     """Nearest-neighbor ×scale upsample (ref ``up_sample``, ops.py:~338).
 

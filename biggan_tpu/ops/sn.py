@@ -104,6 +104,29 @@ def _sigma_u_fused_bwd(res, cotangents):
 _sigma_u_fused.defvjp(_sigma_u_fused_fwd, _sigma_u_fused_bwd)
 
 
+def sigma_metrics(params, sn_u, prefix: str = "") -> dict:
+    """Estimated σ(W) for every spectrally-normalized kernel — the
+    observability signal the reference exposes only implicitly through
+    TensorBoard histograms (SURVEY §5). Pure function; call under jit.
+
+    ``sn_u`` is the module's ``sn_u`` variable collection; its tree
+    structure mirrors ``params`` with a ``u`` leaf next to each kernel.
+    """
+    import flax.traverse_util as tu
+
+    flat_p = tu.flatten_dict(params, sep="/")
+    out = {}
+    for path, u in tu.flatten_dict(sn_u, sep="/").items():
+        scope = path[: -len("/u")] if path.endswith("/u") else ""
+        kernel_path = f"{scope}/kernel" if scope else "kernel"
+        w = flat_p.get(kernel_path)
+        if w is None:
+            continue
+        sigma, _ = power_iteration(w.reshape(-1, w.shape[-1]), u)
+        out[f"{prefix}sigma/{scope or 'kernel'}"] = sigma
+    return out
+
+
 def spectral_normalize(
     w: jax.Array,
     u: jax.Array,

@@ -57,6 +57,7 @@ def build_models(cfg: GANConfig):
         use_sn=cfg.sn,
         up_mode=cfg.g_up_mode,
         attn_impl=cfg.attn_impl,
+        remat=cfg.remat,
         dtype=dtype,
     )
     discriminator = Discriminator(
@@ -66,6 +67,7 @@ def build_models(cfg: GANConfig):
         use_sn=cfg.sn,
         use_d_norm=cfg.d_norm,
         attn_impl=cfg.attn_impl,
+        remat=cfg.remat,
         dtype=dtype,
     )
     return generator, discriminator

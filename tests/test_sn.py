@@ -48,3 +48,24 @@ def test_sigma_gradient_flows_through_w_only(rng):
     g = jax.grad(f)(w)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0.0
+
+
+def test_sigma_metrics_tree():
+    """sigma_metrics: one σ per SN kernel, matching direct power iteration."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from biggan_tpu.ops.layers import SNDense
+    from biggan_tpu.ops.sn import power_iteration, sigma_metrics
+
+    mod = SNDense(8, use_sn=True)
+    x = jnp.ones((2, 4))
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    out = sigma_metrics(variables["params"], variables["sn_u"])
+    assert len(out) == 1
+    (key, sigma), = out.items()
+    assert key == "sigma/"or key.startswith("sigma")
+    w = variables["params"]["kernel"]
+    expected, _ = power_iteration(w.reshape(-1, w.shape[-1]), variables["sn_u"]["u"])
+    np.testing.assert_allclose(float(sigma), float(expected), rtol=1e-6)

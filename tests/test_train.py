@@ -164,3 +164,41 @@ def test_cli_parses_reference_flags():
 
     cfg = parse_args(["--config", "biggan128_paper", "--batch_size", "8"])
     assert cfg.img_size == 128 and cfg.batch_size == 8
+
+
+def test_remat_parity_and_training():
+    """remat=True must give identical forward results and a working
+    train step (it only changes what's recomputed in backward)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from biggan_tpu.configs import GANConfig
+    from biggan_tpu.training.train_state import build_models, create_train_state
+    from biggan_tpu.training.train_step import make_train_step
+
+    kw = dict(
+        dataset="synthetic", img_size=32, ch=8, z_dim=16, num_classes=4,
+        batch_size=4, compute_dtype="float32",
+    )
+    cfg = GANConfig(**kw)
+    cfg_r = GANConfig(**kw, remat=True)
+
+    gen, _ = build_models(cfg)
+    gen_r, _ = build_models(cfg_r)
+    z = jax.random.normal(jax.random.PRNGKey(0), (4, 16))
+    labels = jnp.zeros((4,), jnp.int32)
+    v = gen.init(jax.random.PRNGKey(1), z, labels, train=False)
+    out = gen.apply(v, z, labels, train=False)
+    out_r = gen_r.apply(v, z, labels, train=False)  # same params work
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_r), atol=1e-6)
+
+    state = create_train_state(cfg_r, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": rng.randint(0, 256, (1, 4, 32, 32, 3)).astype(np.uint8),
+        "label": rng.randint(0, 4, (1, 4)).astype(np.int32),
+    }
+    new_state, metrics = jax.jit(make_train_step(cfg_r))(state, batch)
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert np.isfinite(float(metrics["g_loss"]))
