@@ -143,6 +143,29 @@ class PrefetchLoader:
             pass
 
 
+def device_prefetch(loader, sharding, depth: int = 2):
+    """Stage host batches onto the device ahead of consumption.
+
+    ``jax.device_put`` is async (returns immediately, copies in the
+    background), so keeping ``depth`` batches in flight overlaps PCIe
+    transfer with the running step — the device never waits on the host
+    copy. The reference gets this from ``prefetch_to_device``
+    (ref BigGAN_128.py:~192).
+    """
+    import collections
+
+    buf = collections.deque()
+    it = iter(loader)
+    try:
+        while True:
+            while len(buf) < depth:
+                buf.append(jax.device_put(next(it), sharding))
+            yield buf.popleft()
+    except StopIteration:
+        while buf:
+            yield buf.popleft()
+
+
 def make_dataset(
     dataset: str,
     img_size: int,

@@ -27,7 +27,7 @@ import numpy as np
 
 from biggan_tpu.checkpoint.manager import CheckpointManager
 from biggan_tpu.configs.base import GANConfig
-from biggan_tpu.data.pipeline import make_dataset, make_loader
+from biggan_tpu.data.pipeline import device_prefetch, make_dataset, make_loader
 from biggan_tpu.parallel.mesh import create_mesh
 from biggan_tpu.parallel.sharding import batch_sharding, replicate
 from biggan_tpu.sampling.grids import save_image_grid
@@ -115,6 +115,7 @@ class BigGAN:
 
         source = make_dataset(cfg.dataset, cfg.img_size, cfg.num_classes, cfg.seed)
         loader = make_loader(source, cfg.batch_size, cfg.n_critic)
+        batches = device_prefetch(loader, self._data_sharding)
         logger = MetricsLogger(self.log_path)
         self.ckpt.install_preemption_hook(lambda: self.state)
 
@@ -138,8 +139,7 @@ class BigGAN:
                 if step == profile_start:
                     jax.profiler.start_trace(os.path.join(self.log_path, "profile"))
                 t0 = time.time()
-                batch = next(loader)
-                batch = jax.device_put(batch, self._data_sharding)
+                batch = next(batches)  # already on device (double-buffered)
                 self.state, metrics = self._train_step(self.state, batch)
                 step += 1
                 if step == profile_stop:

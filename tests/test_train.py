@@ -202,3 +202,22 @@ def test_remat_parity_and_training():
     new_state, metrics = jax.jit(make_train_step(cfg_r))(state, batch)
     assert np.isfinite(float(metrics["d_loss"]))
     assert np.isfinite(float(metrics["g_loss"]))
+
+
+def test_device_prefetch_overlap():
+    """device_prefetch yields device-resident batches in order."""
+    import jax
+    import numpy as np
+
+    from biggan_tpu.data.pipeline import device_prefetch
+    from biggan_tpu.parallel.mesh import create_mesh
+    from biggan_tpu.parallel.sharding import batch_sharding
+
+    mesh = create_mesh((8, 1), ("data", "model"))
+    sharding = batch_sharding(mesh, batch_dim=1)
+    batches = [{"image": np.full((1, 8, 4, 4, 3), i, np.uint8)} for i in range(5)]
+    out = list(device_prefetch(iter(batches), sharding, depth=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert int(jax.device_get(b["image"]).flat[0]) == i
+        assert b["image"].sharding.spec == jax.sharding.PartitionSpec(None, "data")
