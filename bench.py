@@ -26,7 +26,7 @@ def run_bench(
     warmup: int = 3,
     iters: int = 10,
     attn_impl: str = "xla",
-    sn_impl: str = "xla",
+    sn_impl: str = "auto",
     **config_overrides,
 ) -> dict:
     import jax

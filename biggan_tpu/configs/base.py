@@ -37,7 +37,9 @@ class GANConfig:
     g_up_mode: str = "deconv"  # "deconv" (ref-faithful) | "nn_conv" (paper)
     d_norm: bool = True  # BN inside D (ref keeps it; False = paper SN-only D)
     attn_impl: str = "xla"  # "xla" | "pallas"
-    sn_impl: str = "xla"  # power-iteration impl: "xla" | "pallas" (fused kernel)
+    # power-iteration impl: "auto" = fused Pallas kernel on TPU (2.7× faster
+    # train step, see BENCH notes), XLA elsewhere; or force "xla"/"pallas".
+    sn_impl: str = "auto"
 
     # --- loss / optimization (ref main.py flags) ---
     gan_type: str = "hinge"
