@@ -96,3 +96,56 @@ class TestInceptionNetwork:
         imgs_b = np.clip(np.asarray(imgs_a) * 0.2 + 0.5, -1, 1)
         fid_diff = compute_fid(batches(imgs_a), batches(imgs_b), feature_fn, max_samples=4)
         assert fid_diff > fid_same
+
+
+class TestEvaluateGan:
+    def test_harness_end_to_end_mocked_inception(self, tmp_path, monkeypatch):
+        """evaluate_gan streams real + fake through the extractor and
+        returns labeled metrics (mock extractor: fast, deterministic)."""
+        import jax
+        import numpy as np
+
+        import biggan_tpu.eval.harness as harness
+        from biggan_tpu.configs import GANConfig
+        from biggan_tpu.models.biggan import BigGAN
+
+        monkeypatch.chdir(tmp_path)
+        cfg = GANConfig(
+            dataset="synthetic", img_size=32, ch=8, z_dim=16, num_classes=4,
+            batch_size=4, compute_dtype="float32", sample_num=4, eval_num=8,
+        )
+        gan = BigGAN(cfg)
+        gan.build_model()
+
+        dim = harness.FEATURE_DIM
+
+        def fake_load_params(weights_path=None, seed=0):
+            return {}, False
+
+        def fake_make_feature_fn(params, batch_dtype=None):
+            def fn(images):
+                x = np.asarray(images, np.float32).reshape(images.shape[0], -1)
+                rng = np.random.RandomState(0)
+                proj = rng.randn(x.shape[1], dim).astype(np.float32) * 0.01
+                feats = x @ proj
+                probs = np.full((x.shape[0], 10), 0.1, np.float32)
+                return feats, probs
+            return fn
+
+        monkeypatch.setattr(harness, "load_params", fake_load_params)
+        monkeypatch.setattr(harness, "make_feature_fn", fake_make_feature_fn)
+
+        out = harness.evaluate_gan(gan, num_samples=8, batch_size=4)
+        assert out["num_samples"] == 8
+        assert not out["pretrained_inception"]
+        assert "fid_random_features" in out
+        assert np.isfinite(out["fid_random_features"])
+        assert out["inception_score_random_features"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_config_json_roundtrip():
+    from biggan_tpu.configs import GANConfig
+
+    cfg = GANConfig(img_size=64, ch=32, remat=True, mesh_shape=(4, 2))
+    cfg2 = GANConfig.from_json(cfg.to_json())
+    assert cfg2 == cfg
