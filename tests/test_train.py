@@ -221,3 +221,30 @@ def test_device_prefetch_overlap():
     for i, b in enumerate(out):
         assert int(jax.device_get(b["image"]).flat[0]) == i
         assert b["image"].sharding.spec == jax.sharding.PartitionSpec(None, "data")
+
+
+@pytest.mark.parametrize("img_size", [64, 256, 512])
+def test_all_resolutions_train_step(img_size):
+    """Every arch-table entry (incl. the deep 256/512 stacks with remat)
+    runs a full train step at tiny width on the CPU mesh."""
+    import jax
+    import numpy as np
+
+    from biggan_tpu.configs import GANConfig
+    from biggan_tpu.training.train_state import create_train_state
+    from biggan_tpu.training.train_step import make_train_step
+
+    cfg = GANConfig(
+        dataset="synthetic", img_size=img_size, ch=4, z_dim=20, num_classes=3,
+        batch_size=2, compute_dtype="float32", remat=img_size >= 256,
+    )
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": rng.randint(0, 256, (1, 2, img_size, img_size, 3)).astype(np.uint8),
+        "label": rng.randint(0, 3, (1, 2)).astype(np.int32),
+    }
+    new_state, metrics = jax.jit(make_train_step(cfg))(state, batch)
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert np.isfinite(float(metrics["g_loss"]))
+    assert int(new_state.step) == 1
