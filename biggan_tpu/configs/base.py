@@ -79,6 +79,7 @@ class GANConfig:
     profile_steps: int = 0  # >0: capture a jax.profiler trace of N steps to logs
     tf_import: str = ""  # path to a reference TF checkpoint to import at startup
     log_sigma: bool = False  # log per-layer σ(W) estimates at print_freq
+    log_grad_norms: bool = True  # include global grad norms in step metrics
     seed: int = 0
 
     def __post_init__(self):

@@ -149,7 +149,8 @@ def make_train_step(cfg: GANConfig, axis_name: Optional[str] = None):
         grads, loss, d_state = _accumulate(loss_and_mut_grad, d_state, xs_list, cfg.grad_accum)
         updates, d_opt_state = d_opt.update(grads, d_opt_state, d_params)
         d_params = optax.apply_updates(d_params, updates)
-        return d_params, d_state, d_opt_state, loss, optax.global_norm(grads)
+        gnorm = optax.global_norm(grads) if cfg.log_grad_norms else jnp.zeros(())
+        return d_params, d_state, d_opt_state, loss, gnorm
 
     # ------------------------------------------------------------------ G
     def g_microbatch_loss(g_params, g_state, d_params, d_state, rng):
@@ -177,7 +178,8 @@ def make_train_step(cfg: GANConfig, axis_name: Optional[str] = None):
         )
         updates, g_opt_state = g_opt.update(grads, g_opt_state, g_params)
         g_params = optax.apply_updates(g_params, updates)
-        return g_params, g_state, g_opt_state, loss, optax.global_norm(grads)
+        gnorm = optax.global_norm(grads) if cfg.log_grad_norms else jnp.zeros(())
+        return g_params, g_state, g_opt_state, loss, gnorm
 
     # --------------------------------------------------------------- step
     def train_step(state: GANTrainState, batch: dict):
