@@ -149,3 +149,72 @@ def test_config_json_roundtrip():
     cfg = GANConfig(img_size=64, ch=32, remat=True, mesh_shape=(4, 2))
     cfg2 = GANConfig.from_json(cfg.to_json())
     assert cfg2 == cfg
+
+
+class TestInceptionConverter:
+    def test_converted_keys_cover_model_tree_exactly(self):
+        """Build a pytorch-fid-style state_dict (synthetic values, shapes
+        derived from our flax model), convert, and check it fills the model
+        tree 1:1 — validates every branch-name mapping."""
+        import jax
+        import jax.numpy as jnp
+        import flax.traverse_util as tu
+
+        from biggan_tpu.eval.convert_inception import (
+            _BLOCK_KIND,
+            _BRANCH_MAPS,
+            _STEM,
+            convert,
+        )
+        from biggan_tpu.eval.inception import InceptionV3
+
+        model = InceptionV3()
+        tree = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+        )
+        ours = tu.flatten_dict(tree, sep="/")  # keys like params/Mixed_5b/b0/conv/kernel
+
+        inv_stem = {v: k for k, v in _STEM.items()}
+        inv_branch = {
+            kind: {v: k for k, v in m.items()} for kind, m in _BRANCH_MAPS.items()
+        }
+
+        import numpy as np
+
+        def torch_key(our_key):
+            parts = our_key.split("/")[1:]  # drop "params"
+            leaf_map = {
+                "bn_scale": "bn.weight", "bn_bias": "bn.bias",
+                "bn_mean": "bn.running_mean", "bn_var": "bn.running_var",
+            }
+            if parts[0] == "logits":
+                return "fc." + ("weight" if parts[1] == "kernel" else "bias")
+            if parts[0] in inv_stem:
+                scope = inv_stem[parts[0]]
+                leaf = "conv.weight" if parts[1] == "conv" else leaf_map[parts[1]]
+                return f"{scope}.{leaf}"
+            kind = _BLOCK_KIND[parts[0]]
+            branch = inv_branch[kind][parts[1]]
+            leaf = "conv.weight" if parts[2] == "conv" else leaf_map[parts[2]]
+            return f"{parts[0]}.{branch}.{leaf}"
+
+        def torch_shape(our_key, shape):
+            if our_key.endswith("conv/kernel"):
+                h, w, i, o = shape
+                return (o, i, h, w)
+            if our_key == "params/logits/kernel":
+                return (shape[1], shape[0])
+            return shape
+
+        state_dict = {
+            torch_key(k): np.zeros(torch_shape(k, v.shape), np.float32)
+            for k, v in ours.items()
+        }
+        state_dict["Mixed_5b.branch1x1.bn.num_batches_tracked"] = np.zeros(())
+
+        out = convert(state_dict)
+        assert set(out) == set(ours), (
+            set(out) ^ set(ours)
+        )
+        for k, v in out.items():
+            assert v.shape == ours[k].shape, (k, v.shape, ours[k].shape)
