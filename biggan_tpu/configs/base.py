@@ -59,6 +59,7 @@ class GANConfig:
     grad_accum: int = 1  # virtual-batch multiplier for paper-scale batches
     print_freq: int = 100
     save_freq: int = 1000
+    ckpt_keep_n: int = 3  # checkpoints retained by the orbax manager
     sample_num: int = 64  # images per sample grid
     test_num: int = 10  # grids written by `phase test`
 

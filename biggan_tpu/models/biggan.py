@@ -88,7 +88,7 @@ class BigGAN:
         with open(os.path.join(self.log_path, "config.json"), "w") as f:
             f.write(cfg.to_json())
 
-        self.ckpt = CheckpointManager(self.checkpoint_dir)
+        self.ckpt = CheckpointManager(self.checkpoint_dir, keep_n=cfg.ckpt_keep_n)
         show_all_variables("generator", self.state.g_params)
         show_all_variables("discriminator", self.state.d_params)
         self._built = True
