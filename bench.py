@@ -25,7 +25,7 @@ def run_bench(
     ch: int = 96,
     warmup: int = 3,
     iters: int = 10,
-    attn_impl: str = "xla",
+    attn_impl: str = "auto",
     sn_impl: str = "auto",
     **config_overrides,
 ) -> dict:

@@ -23,7 +23,7 @@ def main(argv=None) -> int:
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--ch", type=int, default=96)
     p.add_argument("--iters", type=int, default=10)
-    p.add_argument("--attn_impl", type=str, default="xla", choices=["auto", "xla", "pallas"])
+    p.add_argument("--attn_impl", type=str, default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--sn_impl", type=str, default="auto", choices=["auto", "xla", "pallas"])
     args = p.parse_args(argv)
     for size in args.img_size:

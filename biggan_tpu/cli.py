@@ -65,7 +65,8 @@ def parse_args(argv=None) -> GANConfig:
     # TPU-native
     parser.add_argument("--compute_dtype", type=str, default=None,
                         choices=["bfloat16", "float32"])
-    parser.add_argument("--attn_impl", type=str, default=None, choices=["xla", "pallas"])
+    parser.add_argument("--attn_impl", type=str, default=None,
+                        choices=["auto", "xla", "pallas"])
     parser.add_argument("--sn_impl", type=str, default=None,
                         choices=["auto", "xla", "pallas"])
     parser.add_argument("--remat", type=str2bool, default=None)

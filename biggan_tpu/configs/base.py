@@ -36,7 +36,7 @@ class GANConfig:
     embed_dim: int = 128  # shared class-embedding width
     g_up_mode: str = "deconv"  # "deconv" (ref-faithful) | "nn_conv" (paper)
     d_norm: bool = True  # BN inside D (ref keeps it; False = paper SN-only D)
-    attn_impl: str = "xla"  # "xla" | "pallas"
+    attn_impl: str = "auto"  # "auto" (pallas on TPU) | "xla" | "pallas"
     # power-iteration impl: "auto" = fused Pallas kernel on TPU (2.7× faster
     # train step, see BENCH notes), XLA elsewhere; or force "xla"/"pallas".
     sn_impl: str = "auto"

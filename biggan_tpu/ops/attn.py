@@ -46,7 +46,10 @@ class SelfAttention(nn.Module):
 
     use_sn: bool = True
     pooled_kv: bool = True
-    impl: str = "xla"  # "xla" | "pallas"
+    # "auto": Pallas flash kernel on TPU (equal to XLA in clean windows,
+    # ~25% faster under per-execute-overhead regimes — BENCH_NOTES.md),
+    # XLA elsewhere. Or force "xla" / "pallas".
+    impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -73,7 +76,10 @@ class SelfAttention(nn.Module):
         k = k.reshape(n_batch, -1, k.shape[-1])
         v = v.reshape(n_batch, -1, v_ch)
 
-        if self.impl == "pallas":
+        impl = self.impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl == "pallas":
             from biggan_tpu.kernels.attention_pallas import flash_attention
 
             o = flash_attention(q, k, v)
