@@ -72,6 +72,13 @@ def run_bench(
         )
 
     batches = [make_batch() for _ in range(4)]
+    # XLA's own cost model: lets readers convert wall-clock → utilization
+    try:
+        ca = step_fn.lower(state, batches[0]).compile().cost_analysis()
+        tflops_per_step = round(ca.get("flops", 0.0) / 1e12, 3)
+        gb_per_step = round(ca.get("bytes accessed", 0.0) / 2**30, 2)
+    except Exception:
+        tflops_per_step = gb_per_step = None
     for i in range(warmup):
         state, metrics = step_fn(state, batches[i % len(batches)])
     jax.block_until_ready(metrics)
@@ -102,6 +109,8 @@ def run_bench(
             "n_chips": n_chips,
             "step_ms": round(1000 * best, 2),
             "step_ms_median": round(1000 * median, 2),
+            "model_tflops_per_step": tflops_per_step,
+            "hbm_gb_per_step": gb_per_step,
             "d_loss": float(metrics["d_loss"]),
             "g_loss": float(metrics["g_loss"]),
         },
