@@ -78,6 +78,8 @@ def parse_args(argv=None) -> GANConfig:
     parser.add_argument("--shard_params", type=str2bool, default=None)
     parser.add_argument("--log_sigma", type=str2bool, default=None,
                         help="log per-layer spectral-norm sigma at print_freq")
+    parser.add_argument("--debug_nans", type=str2bool, default=None,
+                        help="enable jax_debug_nans (dev/debug runs)")
     parser.add_argument("--seed", type=int, default=None)
 
     args = parser.parse_args(argv)

@@ -81,6 +81,7 @@ class GANConfig:
     tf_import: str = ""  # path to a reference TF checkpoint to import at startup
     log_sigma: bool = False  # log per-layer σ(W) estimates at print_freq
     log_grad_norms: bool = True  # include global grad norms in step metrics
+    debug_nans: bool = False  # jax_debug_nans dev mode (SURVEY §5 sanitizers)
     seed: int = 0
 
     def __post_init__(self):

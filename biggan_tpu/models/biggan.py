@@ -62,6 +62,8 @@ class BigGAN:
         """Construct models, mesh, state, and compiled functions
         (ref ``build_model``, BigGAN_128.py:~185-260 — graph construction)."""
         cfg = self.cfg
+        if cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self.generator_net, self.discriminator_net = build_models(cfg)
         self.mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)
         self._data_sharding = batch_sharding(self.mesh, batch_dim=1)

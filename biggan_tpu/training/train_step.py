@@ -185,6 +185,14 @@ def make_train_step(cfg: GANConfig, axis_name: Optional[str] = None):
     def train_step(state: GANTrainState, batch: dict):
         """batch["image"]: [n_critic, batch_size, H, W, C] in [-1, 1];
         batch.get("label"): [n_critic, batch_size] int32 or absent."""
+        import chex
+
+        # trace-time shape contract (SURVEY §5 "sanitizers": chex asserts)
+        chex.assert_shape(
+            batch["image"], (cfg.n_critic, cfg.batch_size, cfg.img_size, cfg.img_size, 3)
+        )
+        if "label" in batch:
+            chex.assert_shape(batch["label"], (cfg.n_critic, cfg.batch_size))
         rng = state.rng
         d_params, d_state, d_opt_state = state.d_params, state.d_state, state.d_opt_state
 
