@@ -22,23 +22,24 @@ import os as _os
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
-    """Turn on JAX's persistent compilation cache.
+    """Turn on JAX's persistent compilation cache (TPU backends only).
 
     The axon TPU backend compiles through a remote service where a cold
     compile of the fused train step takes many minutes; the persistent
     cache makes every later process (CLI runs, bench.py, the driver's
-    compile checks) a disk hit. Safe to call multiple times.
+    compile checks) a disk hit. On CPU the cache can load AOT results
+    whose recorded machine features differ from the host and perturb
+    numerics, so it stays off there (and CPU compiles are fast anyway).
+
+    Called from ``build_models`` — every model-construction path funnels
+    through it — so importing the package stays cheap. Safe to call
+    multiple times.
     """
     import jax
 
     if jax.config.jax_compilation_cache_dir:
         return
-    # TPU-only: on CPU the cache loads AOT results whose recorded machine
-    # features can differ from the host, perturbing numerics — and CPU
-    # compiles are fast anyway. (jax_platforms is set by the axon
-    # sitecustomize / tests' conftest before this import.)
-    platforms = jax.config.jax_platforms or _os.environ.get("JAX_PLATFORMS", "")
-    if "cpu" in platforms.split(","):
+    if jax.default_backend() == "cpu":
         return
     path = path or _os.environ.get(
         "BIGGAN_TPU_COMPILE_CACHE",
@@ -47,9 +48,6 @@ def enable_compilation_cache(path: str | None = None) -> None:
     _os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-
-
-enable_compilation_cache()
 
 
 def __getattr__(name):

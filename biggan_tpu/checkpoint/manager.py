@@ -64,13 +64,25 @@ class CheckpointManager:
         return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract_state))
 
     def install_preemption_hook(self, get_state) -> None:
-        """SIGTERM → synchronous save of the current state, then re-raise."""
+        """SIGTERM → best-effort synchronous save, then default termination.
+
+        The save is best-effort because the signal can land mid-step while
+        the caller's state still references buffers donated to the running
+        jitted step — ``device_get`` on those raises; in that case we skip
+        the save (the previous periodic checkpoint remains valid) rather
+        than crash inside the handler. Termination is then re-delivered as
+        a real SIGTERM (not SIGINT semantics).
+        """
 
         def handler(signum, frame):
-            state = get_state()
-            if state is not None:
-                self.save(state, force=True)
-            signal.default_int_handler(signum, frame)
+            try:
+                state = get_state()
+                if state is not None:
+                    self.save(state, force=True)
+            except Exception as e:  # donated buffers / mid-step interrupt
+                print(f" [!] preemption save skipped: {e}", flush=True)
+            signal.signal(signal.SIGTERM, signal.SIG_DFL)
+            os.kill(os.getpid(), signal.SIGTERM)
 
         signal.signal(signal.SIGTERM, handler)
 

@@ -56,6 +56,9 @@ class ImageFolderSource:
     def __init__(self, root: str, img_size: int, seed: int = 0):
         self.img_size = img_size
         self._rng = np.random.RandomState(seed)
+        # PrefetchLoader calls batch() from several threads and RandomState
+        # is not thread-safe; index draws take this lock (decode does not).
+        self._rng_lock = threading.Lock()
         subdirs = sorted(
             d for d in glob.glob(os.path.join(root, "*")) if os.path.isdir(d)
         )
@@ -85,7 +88,8 @@ class ImageFolderSource:
             return np.asarray(im, np.uint8)
 
     def batch(self, n: int) -> dict:
-        idx = self._rng.randint(0, len(self.files), size=(n,))
+        with self._rng_lock:
+            idx = self._rng.randint(0, len(self.files), size=(n,))
         images = np.stack([self._load(self.files[i]) for i in idx])
         out = {"image": images}
         if self.labels is not None:

@@ -18,19 +18,27 @@ class SyntheticSource:
     """
 
     def __init__(self, img_size: int, num_classes: int = 0, seed: int = 0):
+        import threading
+
         self.img_size = img_size
         self.num_classes = num_classes
         self._rng = np.random.RandomState(seed)
+        # batch() is called from PrefetchLoader worker threads and
+        # RandomState is not thread-safe; generation is cheap, lock it all.
+        self._rng_lock = threading.Lock()
 
     def __len__(self) -> int:
         return 50_000  # nominal epoch size
 
     def batch(self, n: int) -> dict:
-        out = {
-            "image": self._rng.randint(
-                0, 256, size=(n, self.img_size, self.img_size, 3)
-            ).astype(np.uint8)
-        }
-        if self.num_classes > 0:
-            out["label"] = self._rng.randint(0, self.num_classes, size=(n,)).astype(np.int32)
+        with self._rng_lock:
+            out = {
+                "image": self._rng.randint(
+                    0, 256, size=(n, self.img_size, self.img_size, 3)
+                ).astype(np.uint8)
+            }
+            if self.num_classes > 0:
+                out["label"] = self._rng.randint(
+                    0, self.num_classes, size=(n,)
+                ).astype(np.int32)
         return out

@@ -221,16 +221,33 @@ def load_params(
     weights_path = weights_path or os.environ.get("BIGGAN_TPU_INCEPTION_WEIGHTS")
     model = InceptionV3()
     dummy = jnp.zeros((1, 299, 299, 3), jnp.float32)
-    params = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(seed), dummy))
     if weights_path and os.path.exists(weights_path):
-        loaded = np.load(weights_path)
-        flat = {k: jnp.asarray(v) for k, v in loaded.items()}
         import flax.traverse_util as tu
 
+        loaded = np.load(weights_path)
+        flat = {k: jnp.asarray(v) for k, v in loaded.items()}
         tree = tu.unflatten_dict({tuple(k.split("/")): v for k, v in flat.items()})
-        return {"params": tree.get("params", tree)}, True
-    params = model.init(jax.random.PRNGKey(seed), dummy)
-    return params, False
+        params = {"params": tree.get("params", tree)}
+        # validate against the model's structure/shapes up front — a stale
+        # or mismatched weights file must fail loudly here, not deep inside
+        # a jitted apply (or worse, silently skew FID)
+        expected = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(seed), dummy))
+        exp_flat = tu.flatten_dict(expected, sep="/")
+        got_flat = tu.flatten_dict(params, sep="/")
+        missing = sorted(set(exp_flat) - set(got_flat))
+        extra = sorted(set(got_flat) - set(exp_flat))
+        bad_shapes = sorted(
+            k for k in exp_flat.keys() & got_flat.keys()
+            if tuple(exp_flat[k].shape) != tuple(got_flat[k].shape)
+        )
+        if missing or extra or bad_shapes:
+            raise ValueError(
+                f"inception weights at {weights_path!r} do not match the model: "
+                f"missing={missing[:5]} extra={extra[:5]} bad_shapes={bad_shapes[:5]} "
+                "(convert with biggan_tpu.eval.convert_inception)"
+            )
+        return params, True
+    return model.init(jax.random.PRNGKey(seed), dummy), False
 
 
 def make_feature_fn(params, batch_dtype=jnp.float32):

@@ -51,6 +51,20 @@ class BigGAN:
         self.model_name = cfg.model_name  # "BigGAN"
         self.state: Optional[GANTrainState] = None
         self._built = False
+        self._tf_imported = False  # --tf_import weights must survive phase dispatch
+
+    def _maybe_restore(self) -> bool:
+        """Restore the latest local checkpoint into state — unless weights
+        were explicitly imported from a reference TF checkpoint, which must
+        not be silently replaced by whatever is in checkpoint_dir."""
+        if self._tf_imported:
+            print(" [*] using --tf_import weights (skipping local checkpoint restore)")
+            return True
+        restored = self.ckpt.restore(self.state)
+        if restored is None:
+            return False
+        self.state = replicate(restored, self.mesh)
+        return True
 
     # ref BigGAN_128.model_dir property (:~385-395)
     @property
@@ -106,9 +120,7 @@ class BigGAN:
         cfg = self.cfg
 
         # resume (ref load() → counter parsing; here step lives in state)
-        restored = self.ckpt.restore(self.state)
-        if restored is not None:
-            self.state = replicate(restored, self.mesh)
+        if self._maybe_restore():
             print(f" [*] Load SUCCESS — resuming from step {int(self.state.step)}")
             start_step = int(self.state.step)
         else:
@@ -122,10 +134,10 @@ class BigGAN:
         self.ckpt.install_preemption_hook(lambda: self.state)
 
         # fixed z/labels for the periodic sample grid (comparable across steps)
-        vis_rng = jax.random.PRNGKey(cfg.seed + 1)
-        self._vis_z = sample_z(vis_rng, (cfg.sample_num, cfg.z_dim), "truncated", cfg.truncation)
+        vis_z_rng, vis_label_rng = jax.random.split(jax.random.PRNGKey(cfg.seed + 1))
+        self._vis_z = sample_z(vis_z_rng, (cfg.sample_num, cfg.z_dim), "truncated", cfg.truncation)
         self._vis_labels = (
-            jax.random.randint(vis_rng, (cfg.sample_num,), 0, cfg.num_classes)
+            jax.random.randint(vis_label_rng, (cfg.sample_num,), 0, cfg.num_classes)
             if cfg.num_classes > 0
             else None
         )
@@ -199,9 +211,7 @@ class BigGAN:
         restore (EMA weights), draw truncated z, write PNG grids."""
         self._require_built()
         cfg = self.cfg
-        restored = self.ckpt.restore(self.state)
-        if restored is not None:
-            self.state = replicate(restored, self.mesh)
+        if self._maybe_restore():
             print(" [*] Load SUCCESS")
         else:
             print(" [!] Load failed — sampling from untrained weights")
@@ -227,9 +237,10 @@ class BigGAN:
         cfg = self.cfg
         rng = jax.random.PRNGKey(int(time.time())) if rng is None else rng
         psi = cfg.truncation_psi if psi is None else psi
-        z = sample_z(rng, (n, cfg.z_dim), "truncated", cfg.truncation, psi)
+        z_rng, default_label_rng = jax.random.split(rng)  # never reuse a key
+        z = sample_z(z_rng, (n, cfg.z_dim), "truncated", cfg.truncation, psi)
         if cfg.num_classes > 0 and labels is None:
-            label_rng = rng if label_rng is None else label_rng
+            label_rng = default_label_rng if label_rng is None else label_rng
             labels = jax.random.randint(label_rng, (n,), 0, cfg.num_classes)
         imgs = self._sample_fn(self.state.g_ema_params, self.state.g_state, z, labels)
         return np.asarray(jax.device_get(imgs))
@@ -239,9 +250,7 @@ class BigGAN:
         """FID + Inception Score for the EMA generator vs the dataset
         (new capability — the reference has no quantitative eval)."""
         self._require_built()
-        restored = self.ckpt.restore(self.state)
-        if restored is not None:
-            self.state = replicate(restored, self.mesh)
+        if self._maybe_restore():
             print(" [*] Load SUCCESS")
         from biggan_tpu.eval.harness import evaluate_gan
 
@@ -289,6 +298,7 @@ class BigGAN:
         host_state = jax.device_get(self.state)
         new_state, report = import_tf_checkpoint(ckpt_path, host_state, strict=strict)
         self.state = replicate(new_state, self.mesh)
+        self._tf_imported = True
         print(f" [*] TF checkpoint imported: {report.summary()}")
         if report.unmatched_tree:
             print(f" [!] unmatched pytree leaves: {report.unmatched_tree[:5]} ...")

@@ -91,9 +91,10 @@ class Generator(nn.Module):
 
         # remat: recompute each block's activations in backward — HBM for
         # FLOPs, the standard trade at 256/512px (SURVEY §7). train/axis_name
-        # are static; pass positionally for static_argnums.
+        # are static; pass positionally. NOTE flax counts `self` as arg 0 in
+        # static_argnums, so (x, cond, train, axis_name) are (1, 2, 3, 4).
         BlockUp = (
-            nn.remat(ResBlockUp, static_argnums=(2, 3)) if self.remat else ResBlockUp
+            nn.remat(ResBlockUp, static_argnums=(3, 4)) if self.remat else ResBlockUp
         )
         res = s
         for i, mult in enumerate(arch.g_ch_mults):
@@ -142,7 +143,7 @@ class Discriminator(nn.Module):
     ) -> jax.Array:
         arch = get_arch(self.img_size)
         BlockDown = (
-            nn.remat(ResBlockDown, static_argnums=(1, 2)) if self.remat else ResBlockDown
+            nn.remat(ResBlockDown, static_argnums=(2, 3)) if self.remat else ResBlockDown
         )
         h = x.astype(self.dtype)
         res = self.img_size

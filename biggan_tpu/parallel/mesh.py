@@ -27,9 +27,19 @@ from jax.sharding import Mesh
 
 
 def maybe_init_distributed() -> None:
-    """Initialize multi-process JAX when launched under a pod runtime."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+    """Initialize multi-process JAX when launched under a pod runtime.
+
+    Must not touch the XLA backend before ``jax.distributed.initialize``
+    (``jax.process_count()`` would initialize it and make ``initialize``
+    raise) — so the guard is env-var + idempotency only.
+    """
+    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return
+    try:
         jax.distributed.initialize()
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
 
 
 def create_mesh(

@@ -45,8 +45,10 @@ def _split_variables(variables):
 
 
 def build_models(cfg: GANConfig):
+    from biggan_tpu import enable_compilation_cache
     from biggan_tpu.ops.sn import set_sn_impl
 
+    enable_compilation_cache()
     set_sn_impl(cfg.sn_impl)
     dtype = jnp.dtype(cfg.compute_dtype)
     generator = Generator(

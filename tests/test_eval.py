@@ -218,3 +218,16 @@ class TestInceptionConverter:
         )
         for k, v in out.items():
             assert v.shape == ours[k].shape, (k, v.shape, ours[k].shape)
+
+
+def test_load_params_rejects_mismatched_weights(tmp_path):
+    """A stale/mismatched weights npz must fail loudly at load, not deep
+    inside a jitted apply."""
+    import numpy as np
+
+    from biggan_tpu.eval.inception import load_params
+
+    bad = tmp_path / "bad.npz"
+    np.savez(bad, **{"params/Conv2d_1a/conv/kernel": np.zeros((3, 3, 3, 32), np.float32)})
+    with pytest.raises(ValueError, match="do not match"):
+        load_params(str(bad))

@@ -248,3 +248,24 @@ def test_all_resolutions_train_step(img_size):
     assert np.isfinite(float(metrics["d_loss"]))
     assert np.isfinite(float(metrics["g_loss"]))
     assert int(new_state.step) == 1
+
+
+def test_remat_with_axis_name_vmap():
+    """Regression: remat static_argnums must mark (train, axis_name) — an
+    off-by-one passes the string axis_name as a traced arg and crashes
+    under an axis context (flax counts `self` as arg 0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from biggan_tpu.ops.blocks import ResBlockDown
+    import flax.linen as nn
+
+    block = nn.remat(ResBlockDown, static_argnums=(2, 3))(8, dtype=jnp.float32)
+    x = jnp.ones((4, 2, 8, 8, 3))
+
+    def fwd(xi, variables):
+        return block.apply(variables, xi, True, "data", mutable=["batch_stats", "sn_u"])[0]
+
+    variables = block.init(jax.random.PRNGKey(0), x[0], True, None)
+    out = jax.vmap(fwd, in_axes=(0, None), axis_name="data")(x, variables)
+    assert out.shape == (4, 2, 4, 4, 8)
