@@ -45,12 +45,14 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
-def _spec_for(path: tuple, leaf: jax.Array, model_size: int, axis: str) -> P:
+def _spec_for(
+    path: tuple, leaf: jax.Array, model_size: int, axis: str, min_shard_size: int
+) -> P:
     name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
     if (
         name in ("kernel", "embedding")
         and leaf.ndim >= 2
-        and leaf.shape[-1] >= _MIN_SHARD_SIZE
+        and leaf.shape[-1] >= min_shard_size
         and leaf.shape[-1] % model_size == 0
     ):
         return P(*([None] * (leaf.ndim - 1) + [axis]))
@@ -62,13 +64,22 @@ def param_shardings(
     mesh: Mesh,
     shard_params: bool = False,
     model_axis: str = "model",
+    min_shard_size: int = _MIN_SHARD_SIZE,
 ) -> Any:
-    """NamedSharding pytree for params: replicated, or TP-sharded kernels."""
+    """NamedSharding pytree for params: replicated, or TP-sharded kernels.
+
+    ``min_shard_size`` tunes which output-feature widths shard — the
+    production default keeps small kernels replicated (all-gather traffic
+    beats the HBM saved); tests/dry-runs lower it to exercise TP on tiny
+    models.
+    """
     if not shard_params or mesh.shape.get(model_axis, 1) == 1:
         sh = NamedSharding(mesh, P())
         return jax.tree.map(lambda _: sh, params)
     model_size = mesh.shape[model_axis]
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, _spec_for(path, leaf, model_size, model_axis)),
+        lambda path, leaf: NamedSharding(
+            mesh, _spec_for(path, leaf, model_size, model_axis, min_shard_size)
+        ),
         params,
     )
