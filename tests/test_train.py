@@ -269,3 +269,31 @@ def test_remat_with_axis_name_vmap():
     variables = block.init(jax.random.PRNGKey(0), x[0], True, None)
     out = jax.vmap(fwd, in_axes=(0, None), axis_name="data")(x, variables)
     assert out.shape == (4, 2, 4, 4, 8)
+
+
+def test_eval_mode_does_not_mutate_state():
+    """train=False must run with NO mutable collections: cBN/BN use pop
+    stats and SN uses the stored u without updating (ref test head,
+    BigGAN_128.py:~345). Flax raises if anything tries to mutate."""
+    import jax
+    import jax.numpy as jnp
+
+    from biggan_tpu.configs import GANConfig
+    from biggan_tpu.training.train_state import build_models, create_train_state
+
+    cfg = GANConfig(
+        dataset="synthetic", img_size=64, ch=8, z_dim=16, num_classes=4,
+        batch_size=2, compute_dtype="float32",
+    )
+    gen, disc = build_models(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    z = jnp.zeros((2, 16))
+    labels = jnp.zeros((2,), jnp.int32)
+
+    # mutable=False (the default): any attempted write raises
+    imgs = gen.apply({"params": state.g_params, **state.g_state}, z, labels, train=False)
+    assert imgs.shape == (2, 64, 64, 3)
+    logits = disc.apply(
+        {"params": state.d_params, **state.d_state}, imgs, labels, train=False
+    )
+    assert logits.shape == (2, 1)
