@@ -111,6 +111,15 @@ def run_bench(
             "step_ms_median": round(1000 * median, 2),
             "model_tflops_per_step": tflops_per_step,
             "hbm_gb_per_step": gb_per_step,
+            # single-v5e roofline floor (197 TFLOP/s bf16, 819 GB/s HBM);
+            # a best window below it means the pooled backend executed on
+            # more capable hardware — see BENCH_NOTES.md "Physics check"
+            "regime": (
+                "pooled-accelerated"
+                if tflops_per_step
+                and best < max(tflops_per_step / 197.0, (gb_per_step or 0) * 2**30 / 819e9)
+                else "single-chip-consistent"
+            ),
             "d_loss": float(metrics["d_loss"]),
             "g_loss": float(metrics["g_loss"]),
         },

@@ -78,7 +78,7 @@ def test_two_step_train_state_evolution():
     assert any(np.abs(m).max() > 0 for m in bn_means)
 
 
-@pytest.mark.parametrize("gan_type", ["hinge", "wgan-gp", "gan"])
+@pytest.mark.parametrize("gan_type", ["hinge", "wgan-gp", "gan", "lsgan", "dragan", "wgan-lp"])
 def test_gan_types_train(gan_type):
     cfg = tiny_cfg(gan_type=gan_type)
     _, metrics = run_steps(cfg, n=1)
