@@ -11,23 +11,33 @@ maps variables into a :class:`~biggan_tpu.training.train_state.GANTrainState`:
 - ``conv2d_transpose`` kernels: TF stores ``[H, W, out, in]`` → transpose
   to our HWIO ``[H, W, in, out]``
 - dense kernels ``[in, out]`` → identity
-- BN ``moving_mean`` / ``moving_variance`` → ``batch_stats`` collection
-- spectral-norm ``u`` vectors (``[1, C_out]``) → ``sn_u`` collection
-  (squeezed to ``[C_out]``)
+- BN ``moving_mean`` / ``moving_variance`` and cBN ``pop_mean`` /
+  ``pop_var`` → ``batch_stats`` collection
+- spectral-norm ``u`` vectors (``[1, C]``) → ``sn_u`` collection
+  (squeezed to ``[C]``; for deconv kernels C = C_in, the TF convention —
+  see ops/layers.py ``SNConvTranspose2D``)
 - generator weights land in BOTH ``g_params`` and ``g_ema_params``
   (swapping_saver semantics: the saved slots ARE the EMA)
 
-Exact reference variable scopes could not be byte-verified (the reference
-mount was empty — SURVEY.md §0), so matching is two-stage:
+Matching is two-stage:
 
-1. **Name mapping** via ``NAME_RULES`` regex rewrites covering the
-   reconstructed upstream naming.
-2. **Shape-based assignment** fallback: remaining TF variables are matched
-   to remaining pytree leaves with identical (transposed) shapes, in
-   checkpoint order, within the same top scope (generator/discriminator).
+1. **Name mapping.** :func:`reference_name_rules` generates, per
+   resolution, the full scope map from the reference's variable tree
+   (``generator/resblock_up_16/res1/batch_norm/beta/kernel`` …, derived
+   from the upstream layout in SURVEY §2.2/§3.3 and the arch table) onto
+   our pytree paths. On a faithful reference checkpoint every variable
+   matches here — verified end-to-end by ``tests/test_tf_golden_e2e.py``
+   against a reconstructed ``tf.compat.v1`` reference graph.
+2. **Shape-based assignment** fallback for fork-delta scopes: remaining
+   TF variables are bucketed with remaining pytree leaves by (top scope,
+   shape). A bucket is assigned only when the two sides pair 1:1 in
+   sorted-name order (equal counts); an ambiguous bucket (unequal counts)
+   is a hard error under ``strict`` — never a silent skew — and is
+   reported as unmatched otherwise.
 
-Every decision is returned in an :class:`ImportReport`; ``strict=True``
-raises if any target leaf is left unmatched.
+Every decision is returned in an :class:`ImportReport` (stage-2
+assignments separately in ``shape_matched``); ``strict=True`` raises if
+any target leaf is left unmatched or any shape bucket is ambiguous.
 """
 
 from __future__ import annotations
@@ -39,29 +49,103 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import numpy as np
 
-# (pattern, replacement) applied in order to TF variable names. "/" paths on
-# both sides; the result is matched against flattened pytree paths.
-NAME_RULES: List[Tuple[str, str]] = [
+# Generic leaf-rename rules used when no arch-specific rules apply (kept
+# for fork-delta scopes on top of reference_name_rules output).
+GENERIC_RULES: List[Tuple[str, str]] = [
     (r"^generator/", "g/"),
     (r"^discriminator/", "d/"),
-    (r"moving_mean$", "mean"),
-    (r"moving_variance$", "var"),
+    # cBN β/γ projections built with tf.layers.dense gain a nested scope
+    (r"/(beta|gamma)/dense/", r"/\1/"),
+    (r"/pop_mean$", "/mean"),
+    (r"/pop_var$", "/var"),
+    (r"/moving_mean$", "/mean"),
+    (r"/moving_variance$", "/var"),
     (r"/w$", "/kernel"),
     (r"/b$", "/bias"),
-    (r"/beta$", "/bias"),
-    (r"/gamma$", "/scale"),
 ]
+
+
+def _tf_uniquified(base: str, occurrence: int) -> str:
+    """TF variable_scope auto-uniquify: 'x', 'x_1', 'x_2', …"""
+    return base if occurrence == 0 else f"{base}_{occurrence}"
+
+
+def reference_name_rules(img_size: int) -> List[Tuple[str, str]]:
+    """Regex rules mapping reference variable names → our pytree paths.
+
+    The reference names G blocks by their *output channel multiplier*
+    (``resblock_up_16`` … ``resblock_up_1``; ref ``BigGAN_128.generator``,
+    :~65-110) and D blocks likewise (``resblock_down_1`` …); repeated
+    multipliers (256/512 stacks) get TF's scope auto-uniquify suffix.
+    """
+    from biggan_tpu.models.arch import get_arch
+
+    arch = get_arch(img_size)
+    rules: List[Tuple[str, str]] = [
+        (r"^generator/", "g/"),
+        (r"^discriminator/", "d/"),
+        # heads / top-level scopes
+        (r"^g/dense/", "g/fc_seed/"),
+        (r"^g/G_logit/", "g/conv_out/"),
+        (r"^g/batch_norm/", "g/bn_out/"),
+        (r"^g/self_attention/", "g/attn/"),
+        (r"^d/self_attention/", "d/attn/"),
+        (r"^d/resblock/", "d/block_final/"),
+        (r"^d/D_logit/", "d/fc_logit/"),
+    ]
+    seen: Dict[str, int] = {}
+    for i, mult in enumerate(arch.g_ch_mults):
+        base = f"resblock_up_{mult}"
+        scope = _tf_uniquified(base, seen.get(base, 0))
+        seen[base] = seen.get(base, 0) + 1
+        rules.append((rf"^g/{scope}/", f"g/block_up_{i}/"))
+    seen = {}
+    for i, mult in enumerate(arch.d_ch_mults):
+        base = f"resblock_down_{mult}"
+        scope = _tf_uniquified(base, seen.get(base, 0))
+        seen[base] = seen.get(base, 0) + 1
+        rules.append((rf"^d/{scope}/", f"d/block_down_{i}/"))
+    rules += [
+        # cBN FCs built with tf.layers.dense gain a nested 'dense' scope
+        (r"/(beta|gamma)/dense/", r"/\1/"),
+        # inner block structure: res1/res2/skip sub-scopes (ref ops.py
+        # resblock_up_condition/resblock_down/resblock, :~150-247)
+        (r"(^g/[^/]+)/res(\d)/batch_norm/", r"\1/cbn\2/"),
+        (r"(^d/[^/]+)/res(\d)/batch_norm/", r"\1/bn\2/"),
+        (r"/res1/(deconv_0|conv_0)/", "/conv1/"),
+        (r"/res2/(deconv_0|conv_0)/", "/conv2/"),
+        (r"/skip/(deconv_0|conv_0)/", "/skip/"),
+        # leaf renames
+        (r"/pop_mean$", "/mean"),
+        (r"/pop_var$", "/var"),
+        (r"/moving_mean$", "/mean"),
+        (r"/moving_variance$", "/var"),
+        (r"/w$", "/kernel"),
+        (r"/b$", "/bias"),
+        # plain-BN affine leaves (contrib batch_norm naming); scoped so the
+        # attention γ scalar and the cBN γ/β *projections* are untouched
+        (r"/(bn1|bn2|bn_out)/gamma$", r"/\1/scale"),
+        (r"/(bn1|bn2|bn_out)/beta$", r"/\1/bias"),
+    ]
+    return rules
+
+
+# Backwards-compatible module-level default (generic only).
+NAME_RULES = GENERIC_RULES
 
 
 @dataclasses.dataclass
 class ImportReport:
     matched: Dict[str, str] = dataclasses.field(default_factory=dict)  # tf name → pytree path
+    shape_matched: Dict[str, str] = dataclasses.field(default_factory=dict)  # stage-2 subset
     unmatched_tf: List[str] = dataclasses.field(default_factory=list)
     unmatched_tree: List[str] = dataclasses.field(default_factory=list)
+    ambiguous: List[str] = dataclasses.field(default_factory=list)  # human-readable bucket notes
 
     def summary(self) -> str:
         return (
             f"matched={len(self.matched)} "
+            f"(by_shape={len(self.shape_matched)}) "
             f"unmatched_tf={len(self.unmatched_tf)} "
             f"unmatched_tree={len(self.unmatched_tree)}"
         )
@@ -82,10 +166,18 @@ def _read_tf_checkpoint(ckpt_path: str) -> Dict[str, np.ndarray]:
     return out
 
 
-def _apply_rules(name: str) -> str:
-    for pat, repl in NAME_RULES:
+def _apply_rules(name: str, rules: Optional[List[Tuple[str, str]]] = None) -> str:
+    for pat, repl in (GENERIC_RULES if rules is None else rules):
         name = re.sub(pat, repl, name)
-    return name
+    # Collection rerouting: SN u vectors live in the ``sn_u`` collection,
+    # BN/cBN running stats in ``batch_stats`` — both mirror the module tree.
+    parts = name.split("/")
+    if len(parts) >= 2 and parts[0] in ("g", "d"):
+        if parts[-1] == "u":
+            parts.insert(1, "sn_u")
+        elif parts[-1] in ("mean", "var"):
+            parts.insert(1, "batch_stats")
+    return "/".join(parts)
 
 
 def _is_deconv(tf_name: str) -> bool:
@@ -97,6 +189,8 @@ def _canonical_value(tf_name: str, arr: np.ndarray) -> np.ndarray:
         return np.transpose(arr, (0, 1, 3, 2))  # HWOI → HWIO
     if arr.ndim == 2 and arr.shape[0] == 1 and ("/u" in tf_name or tf_name.endswith("u")):
         return arr[0]  # SN u: [1, C] → [C]
+    if arr.shape == (1,) and tf_name.endswith("gamma"):
+        return arr.reshape(())  # attention γ: TF [1] → our scalar
     return arr
 
 
@@ -111,14 +205,19 @@ def import_tf_checkpoint(
     ckpt_path: str,
     state,
     strict: bool = False,
+    img_size: Optional[int] = None,
 ) -> Tuple[object, ImportReport]:
     """Load a reference TF checkpoint into ``state`` (a GANTrainState).
 
-    Returns ``(new_state, report)``. Weights that can't be matched keep
-    their current (e.g. fresh-init) values unless ``strict``.
+    ``img_size`` selects the arch-aware :func:`reference_name_rules`
+    (complete stage-1 name matching); without it only the generic rules
+    run and stage-2 shape matching carries the load. Returns
+    ``(new_state, report)``. Weights that can't be matched keep their
+    current (e.g. fresh-init) values unless ``strict``.
     """
     import flax.traverse_util as tu
 
+    rules = reference_name_rules(img_size) if img_size is not None else None
     tf_vars = _read_tf_checkpoint(ckpt_path)
 
     # target leaves: params + batch_stats + sn_u for G and D
@@ -136,7 +235,7 @@ def import_tf_checkpoint(
     # stage 1: name-rule matching
     remaining_tf = {}
     for tf_name, arr in tf_vars.items():
-        mapped = _apply_rules(tf_name)
+        mapped = _apply_rules(tf_name, rules)
         val = _canonical_value(tf_name, arr)
         if mapped in targets and targets[mapped].shape == val.shape:
             new_values[mapped] = val
@@ -144,29 +243,44 @@ def import_tf_checkpoint(
         else:
             remaining_tf[tf_name] = arr
 
-    # stage 2: shape-based assignment within the same top scope
-    open_targets = {
-        k: v for k, v in targets.items() if k not in new_values
-    }
-    for tf_name, arr in sorted(remaining_tf.items()):
-        val = _canonical_value(tf_name, arr)
+    # stage 2: shape-bucket assignment within the same top scope.
+    # Bucket key = (top scope, canonical shape). A bucket assigns only when
+    # TF variables and open targets pair 1:1 (equal counts, zipped in
+    # sorted-name order — checkpoint scopes and our module names both sort
+    # in layer order); unequal counts are ambiguous and fail loudly.
+    open_targets = {k: v for k, v in targets.items() if k not in new_values}
+    buckets: Dict[Tuple[str, tuple], List[str]] = {}
+    for tf_name in remaining_tf:
         scope = "g/" if tf_name.startswith("generator") else "d/"
-        candidates = [
+        shape = tuple(_canonical_value(tf_name, remaining_tf[tf_name]).shape)
+        buckets.setdefault((scope, shape), []).append(tf_name)
+    for (scope, shape), tf_names in sorted(buckets.items(), key=str):
+        candidates = sorted(
             k for k, v in open_targets.items()
-            if k.startswith(scope) and v.shape == val.shape
-        ]
-        if len(candidates) == 1:
-            key = candidates[0]
-            new_values[key] = val
-            report.matched[tf_name] = key
-            del open_targets[key]
+            if k.startswith(scope) and tuple(v.shape) == shape
+        )
+        if len(candidates) == len(tf_names):
+            for tf_name, key in zip(sorted(tf_names), candidates):
+                new_values[key] = _canonical_value(tf_name, remaining_tf[tf_name])
+                report.matched[tf_name] = key
+                report.shape_matched[tf_name] = key
+                del open_targets[key]
         else:
-            report.unmatched_tf.append(tf_name)
+            note = (
+                f"shape bucket {scope}{shape}: {len(tf_names)} checkpoint "
+                f"vars {sorted(tf_names)[:4]} vs {len(candidates)} open "
+                f"targets {candidates[:4]}"
+            )
+            report.ambiguous.append(note)
+            report.unmatched_tf.extend(sorted(tf_names))
     report.unmatched_tree = sorted(k for k in targets if k not in new_values)
 
-    if strict and report.unmatched_tree:
+    if strict and (report.unmatched_tree or report.ambiguous):
         raise ValueError(
-            f"strict import failed: unmatched pytree leaves {report.unmatched_tree[:10]}... "
+            "strict import failed: "
+            + (f"ambiguous shape buckets:\n  " + "\n  ".join(report.ambiguous) + "\n"
+               if report.ambiguous else "")
+            + f"unmatched pytree leaves {report.unmatched_tree[:10]} "
             f"({report.summary()})"
         )
 

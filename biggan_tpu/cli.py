@@ -61,6 +61,9 @@ def parse_args(argv=None) -> GANConfig:
     parser.add_argument("--truncation_psi", type=float, default=None)
     parser.add_argument("--ortho_reg", type=float, default=None)
     parser.add_argument("--g_up_mode", type=str, default=None, choices=["deconv", "nn_conv"])
+    parser.add_argument("--data_sampling", type=str, default=None,
+                        choices=["shuffle", "iid"],
+                        help="shuffle = full epochs w/ resume (ref); iid = with replacement")
 
     # TPU-native
     parser.add_argument("--compute_dtype", type=str, default=None,
@@ -76,6 +79,9 @@ def parse_args(argv=None) -> GANConfig:
                         help="path to a reference BigGAN-Tensorflow checkpoint "
                              "to import into the model at startup")
     parser.add_argument("--shard_params", type=str2bool, default=None)
+    parser.add_argument("--num_slices", type=int, default=None,
+                        help=">1: hybrid DCN x ICI mesh; leading data dim "
+                             "spans pod slices over DCN (BASELINE config 5)")
     parser.add_argument("--log_sigma", type=str2bool, default=None,
                         help="log per-layer spectral-norm sigma at print_freq")
     parser.add_argument("--debug_nans", type=str2bool, default=None,

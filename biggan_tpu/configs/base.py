@@ -65,6 +65,10 @@ class GANConfig:
 
     # --- data ---
     random_flip: bool = True  # device-side random horizontal flip (north star)
+    # "shuffle" = shuffled full epochs with epoch/idx-consistent resume
+    # (ref shuffle_and_repeat, BigGAN_128.py:~188-194); "iid" = draws with
+    # replacement (statistically adjacent, no epoch boundaries).
+    data_sampling: str = "shuffle"
 
     # --- sampling ---
     truncation: float = 2.0  # truncated-normal threshold for z (ref: 2σ baked in)
@@ -75,6 +79,9 @@ class GANConfig:
     compute_dtype: str = "bfloat16"  # bf16 on TPU; tests use float32
     mesh_shape: Tuple[int, ...] = (-1, 1)  # (data, model); -1 = all remaining devices
     mesh_axes: Tuple[str, ...] = ("data", "model")
+    # >1: hybrid DCN×ICI mesh — the leading `data` dim spans slices over DCN
+    # (BASELINE config 5, v4-32 pod slice); 1 = single-slice contiguous mesh.
+    num_slices: int = 1
     shard_params: bool = False  # shard big kernels over the model axis (TP)
     remat: bool = False  # jax.checkpoint on blocks to trade FLOPs for HBM
     profile_steps: int = 0  # >0: capture a jax.profiler trace of N steps to logs

@@ -16,6 +16,7 @@
 #include <jpeglib.h>
 #include <png.h>
 
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
@@ -200,15 +201,48 @@ struct Loader {
   std::vector<int32_t> labels;
   int img_size, batch;
   size_t queue_cap;
+  int mode = 1;  // 0 = iid with replacement; 1 = shuffled epochs (ref-faithful)
+  uint64_t base_seed = 0;
   std::atomic<bool> stop{false};
   std::deque<Batch> queue;
   std::mutex mu;
   std::condition_variable cv_put, cv_get;
   std::vector<std::thread> threads;
-  std::atomic<uint64_t> seed_ctr;
 
-  Loader(int n_threads, uint64_t seed) : seed_ctr(seed) {
-    (void)n_threads;
+  // Shuffled-epoch traversal: one shared cursor over a per-epoch
+  // permutation — every file exactly once per epoch regardless of worker
+  // interleaving (the counterpart of tf.data shuffle_and_repeat,
+  // ref BigGAN_128.py:~188-194). Deterministic per (seed, epoch) so a
+  // resumed run continues the same traversal.
+  std::mutex idx_mu;
+  std::vector<uint32_t> perm;
+  size_t pos = 0;
+  uint64_t epoch = 0;
+
+  void reshuffle_locked() {
+    perm.resize(files.size());
+    for (size_t i = 0; i < perm.size(); ++i) perm[i] = uint32_t(i);
+    std::mt19937_64 rng(base_seed ^ (epoch * 0x9E3779B97F4A7C15ULL + 1));
+    std::shuffle(perm.begin(), perm.end(), rng);
+  }
+
+  void seek(uint64_t n_images) {
+    std::lock_guard<std::mutex> lk(idx_mu);
+    epoch = n_images / files.size();
+    pos = n_images % files.size();
+    reshuffle_locked();
+  }
+
+  size_t next_index(std::mt19937_64& rng) {
+    if (mode == 0) return rng() % files.size();
+    std::lock_guard<std::mutex> lk(idx_mu);
+    if (perm.empty()) reshuffle_locked();
+    if (pos >= perm.size()) {
+      ++epoch;
+      pos = 0;
+      reshuffle_locked();
+    }
+    return perm[pos++];
   }
 
   void worker(uint64_t seed) {
@@ -218,9 +252,10 @@ struct Loader {
       b.images.resize(size_t(batch) * img_size * img_size * 3);
       b.labels.resize(batch, 0);
       for (int i = 0; i < batch; ++i) {
-        // resample on decode failure (corrupt file) rather than aborting
+        // skip to the next index on decode failure (corrupt file) rather
+        // than aborting; in shuffle mode this consumes the bad file's slot
         for (int attempt = 0; attempt < 16; ++attempt) {
-          size_t idx = rng() % files.size();
+          size_t idx = next_index(rng);
           Image img;
           if (decode_file(files[idx], &img) && img.w > 0 && img.h > 0) {
             resize_bilinear(img, img_size,
@@ -243,16 +278,21 @@ struct Loader {
 
 extern "C" {
 
+// mode: 0 = iid with replacement, 1 = shuffled epochs (default traversal).
+// start_count: images already consumed (resume cursor; shuffle mode only).
 void* bt_loader_create(const char** paths, int n_files, const int32_t* labels,
                        int img_size, int batch, int n_threads, int queue_cap,
-                       uint64_t seed) {
+                       uint64_t seed, int mode, uint64_t start_count) {
   if (n_files <= 0 || batch <= 0 || img_size <= 0) return nullptr;
-  auto* L = new Loader(n_threads, seed);
+  auto* L = new Loader();
   L->files.assign(paths, paths + n_files);
   if (labels) L->labels.assign(labels, labels + n_files);
   L->img_size = img_size;
   L->batch = batch;
   L->queue_cap = queue_cap > 0 ? queue_cap : 4;
+  L->mode = mode;
+  L->base_seed = seed;
+  if (mode != 0) L->seek(start_count);
   for (int t = 0; t < (n_threads > 0 ? n_threads : 4); ++t)
     L->threads.emplace_back(&Loader::worker, L, seed * 0x9E3779B97F4A7C15ULL + t);
   return L;

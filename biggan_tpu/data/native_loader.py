@@ -51,6 +51,7 @@ def _lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+            ctypes.c_int, ctypes.c_uint64,  # mode (0=iid, 1=shuffle), start_count
         ]
         lib.bt_loader_next.restype = ctypes.c_int
         lib.bt_loader_next.argtypes = [
@@ -78,9 +79,12 @@ class NativeImageFolderSource:
     train loop always asks for ``n_critic·batch_size``)."""
 
     def __init__(self, files, labels, img_size: int, batch: int,
-                 n_threads: int = 8, queue_cap: int = 4, seed: int = 0):
+                 n_threads: int = 8, queue_cap: int = 4, seed: int = 0,
+                 sampling: str = "shuffle", start_count: int = 0):
         if not files:
             raise FileNotFoundError("native loader: empty file list")
+        if sampling not in ("shuffle", "iid"):
+            raise ValueError(f"sampling must be 'shuffle' or 'iid', got {sampling!r}")
         self.img_size, self.batch_size = img_size, batch
         self.num_classes = int(labels.max()) + 1 if labels is not None else 0
         self._files = [f.encode() for f in files]
@@ -95,6 +99,7 @@ class NativeImageFolderSource:
         self._handle = _lib().bt_loader_create(
             arr, len(self._files), lab_ptr, img_size, batch,
             n_threads, queue_cap, seed,
+            1 if sampling == "shuffle" else 0, start_count,
         )
         if not self._handle:
             raise RuntimeError("bt_loader_create failed")

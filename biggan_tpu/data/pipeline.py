@@ -51,14 +51,33 @@ def device_preprocess(images_u8: jax.Array, rng: jax.Array, flip: bool = True) -
 
 
 class ImageFolderSource:
-    """Decode-on-host source over ``dataset/<name>/*.*`` (ref ``load_data``)."""
+    """Decode-on-host source over ``dataset/<name>/*.*`` (ref ``load_data``).
 
-    def __init__(self, root: str, img_size: int, seed: int = 0):
+    Traversal (``sampling``):
+
+    - ``"shuffle"`` (default, ref-faithful): shuffled full epochs — every
+      file exactly once per epoch, a fresh deterministic permutation per
+      epoch (ref ``shuffle_and_repeat``, BigGAN_128.py:~188-194).
+      :meth:`seek` restores the epoch/position cursor for resume, the
+      counterpart of the reference's filename-counter resume
+      (BigGAN_128.py:~272-278).
+    - ``"iid"``: independent draws with replacement (statistically adjacent,
+      never an epoch boundary).
+    """
+
+    def __init__(self, root: str, img_size: int, seed: int = 0, sampling: str = "shuffle"):
+        if sampling not in ("shuffle", "iid"):
+            raise ValueError(f"sampling must be 'shuffle' or 'iid', got {sampling!r}")
         self.img_size = img_size
+        self.sampling = sampling
+        self.seed = seed
         self._rng = np.random.RandomState(seed)
         # PrefetchLoader calls batch() from several threads and RandomState
         # is not thread-safe; index draws take this lock (decode does not).
         self._rng_lock = threading.Lock()
+        self._epoch = 0
+        self._pos = 0
+        self._perm: Optional[np.ndarray] = None
         subdirs = sorted(
             d for d in glob.glob(os.path.join(root, "*")) if os.path.isdir(d)
         )
@@ -87,9 +106,39 @@ class ImageFolderSource:
             im = im.convert("RGB").resize((self.img_size, self.img_size), Image.BILINEAR)
             return np.asarray(im, np.uint8)
 
+    def _epoch_perm(self, epoch: int) -> np.ndarray:
+        # deterministic per-(seed, epoch) so resume reproduces the traversal
+        return np.random.default_rng((self.seed, epoch)).permutation(len(self.files))
+
+    def seek(self, n_images: int) -> None:
+        """Position the shuffle cursor as if ``n_images`` were already
+        consumed (resume support; no-op under iid sampling)."""
+        with self._rng_lock:
+            self._epoch, self._pos = divmod(int(n_images), len(self.files))
+            self._perm = self._epoch_perm(self._epoch)
+
+    def _draw_indices(self, n: int) -> np.ndarray:
+        """Next n indices under the traversal policy. Caller holds the lock."""
+        if self.sampling == "iid":
+            return self._rng.randint(0, len(self.files), size=(n,))
+        if self._perm is None:
+            self._perm = self._epoch_perm(self._epoch)
+        out = np.empty((n,), np.int64)
+        filled = 0
+        while filled < n:
+            take = min(n - filled, len(self.files) - self._pos)
+            out[filled : filled + take] = self._perm[self._pos : self._pos + take]
+            self._pos += take
+            filled += take
+            if self._pos >= len(self.files):
+                self._epoch += 1
+                self._pos = 0
+                self._perm = self._epoch_perm(self._epoch)
+        return out
+
     def batch(self, n: int) -> dict:
         with self._rng_lock:
-            idx = self._rng.randint(0, len(self.files), size=(n,))
+            idx = self._draw_indices(n)
         images = np.stack([self._load(self.files[i]) for i in idx])
         out = {"image": images}
         if self.labels is not None:
@@ -139,12 +188,16 @@ class PrefetchLoader:
 
     def close(self):
         self._stop.set()
-        # drain so workers blocked on put() can exit
+        # drain-then-join: workers blocked on put() wake within their 0.5 s
+        # put timeout, see the stop flag, and exit — joining guarantees no
+        # worker re-fills the queue after close returns.
         try:
             while True:
                 self._q.get_nowait()
         except queue.Empty:
             pass
+        for t in self._threads:
+            t.join(timeout=2.0)
 
 
 def device_prefetch(loader, sharding, depth: int = 2):
@@ -176,12 +229,13 @@ def make_dataset(
     num_classes: int = 0,
     seed: int = 0,
     data_root: str = "dataset",
+    sampling: str = "shuffle",
 ):
     """Resolve a dataset name → source. "synthetic" needs no files on disk."""
     if dataset == "synthetic":
         return SyntheticSource(img_size, num_classes, seed)
     root = os.path.join(data_root, dataset)
-    return ImageFolderSource(root, img_size, seed)
+    return ImageFolderSource(root, img_size, seed, sampling=sampling)
 
 
 class _NativeLoaderAdapter:
@@ -215,13 +269,16 @@ def make_loader(
     workers: int = 4,
     native: str = "auto",  # "auto" | "off" — C++ decode pool when possible
     seed: int = 0,
+    start_count: int = 0,  # images already consumed (epoch-shuffle resume)
 ):
     """Build the batch producer feeding the train loop.
 
     For on-disk image folders the native C++ loader (decode + resize in a
     worker pool, the reference's tf.data-C++-runtime counterpart) is used
     when it compiles; anything else — or ``native="off"`` — uses the
-    Python thread pool around ``source.batch``.
+    Python thread pool around ``source.batch``. Both honor the source's
+    traversal policy (shuffled epochs by default) and resume at
+    ``start_count`` consumed images.
     """
     if native == "auto" and isinstance(source, ImageFolderSource):
         from biggan_tpu.data import native_loader
@@ -235,6 +292,10 @@ def make_loader(
                 n_threads=max(workers * 2, 8),
                 queue_cap=prefetch,
                 seed=seed,
+                sampling=source.sampling,
+                start_count=start_count,
             )
             return _NativeLoaderAdapter(nsrc, (n_critic, batch_size))
+    if start_count and hasattr(source, "seek"):
+        source.seek(start_count)
     return PrefetchLoader(source, (n_critic, batch_size), prefetch, workers)

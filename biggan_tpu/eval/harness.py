@@ -45,12 +45,15 @@ def evaluate_gan(
     seen = 0
     while seen < num_samples:
         n = min(batch_size, num_samples - seen)
-        real = source.batch(n)["image"].astype(np.float32) / 127.5 - 1.0
+        # always run full batches (pad the final ragged one) so the jitted
+        # Inception forward and the sampler compile exactly once; only the
+        # first n rows feed the moments.
+        real = source.batch(batch_size)["image"].astype(np.float32) / 127.5 - 1.0
         feats, _ = feature_fn(real)
         real_m.update(np.asarray(feats)[:n])
 
         rng, z_rng, l_rng = jax.random.split(rng, 3)
-        fake = gan.sample(n, rng=z_rng, label_rng=l_rng)
+        fake = gan.sample(batch_size, rng=z_rng, label_rng=l_rng)
         feats, probs = feature_fn(fake)
         fake_m.update(np.asarray(feats)[:n])
         probs_chunks.append(np.asarray(probs)[:n])

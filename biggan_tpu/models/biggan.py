@@ -79,7 +79,7 @@ class BigGAN:
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
         self.generator_net, self.discriminator_net = build_models(cfg)
-        self.mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)
+        self.mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes, num_slices=cfg.num_slices)
         self._data_sharding = batch_sharding(self.mesh, batch_dim=1)
 
         with jax.default_device(jax.devices()[0]):
@@ -127,8 +127,16 @@ class BigGAN:
             print(" [!] Load failed — training from scratch")
             start_step = 0
 
-        source = make_dataset(cfg.dataset, cfg.img_size, cfg.num_classes, cfg.seed)
-        loader = make_loader(source, cfg.batch_size, cfg.n_critic)
+        source = make_dataset(
+            cfg.dataset, cfg.img_size, cfg.num_classes, cfg.seed,
+            sampling=cfg.data_sampling,
+        )
+        # resume the epoch-shuffle traversal where the restored step left it
+        # (ref resumes epoch/idx from the ckpt counter, BigGAN_128.py:~272-278)
+        loader = make_loader(
+            source, cfg.batch_size, cfg.n_critic, seed=cfg.seed,
+            start_count=start_step * cfg.n_critic * cfg.batch_size,
+        )
         batches = device_prefetch(loader, self._data_sharding)
         logger = MetricsLogger(self.log_path)
         self.ckpt.install_preemption_hook(lambda: self.state)
@@ -232,7 +240,13 @@ class BigGAN:
         rng: Optional[jax.Array] = None,
         label_rng: Optional[jax.Array] = None,
     ) -> np.ndarray:
-        """Truncation-trick sampling from the EMA generator."""
+        """Truncation-trick sampling from the EMA generator.
+
+        Without an explicit ``rng`` each call draws fresh (wall-clock-
+        seeded, i.e. non-reproducible) z — the reference's `test()`
+        behavior, where z is a graph op re-sampled per ``sess.run``
+        (ref BigGAN_128.py:~345-380). Pass ``rng`` for determinism.
+        """
         self._require_built()
         cfg = self.cfg
         rng = jax.random.PRNGKey(int(time.time())) if rng is None else rng
@@ -296,7 +310,9 @@ class BigGAN:
         from biggan_tpu.checkpoint.tf_import import import_tf_checkpoint
 
         host_state = jax.device_get(self.state)
-        new_state, report = import_tf_checkpoint(ckpt_path, host_state, strict=strict)
+        new_state, report = import_tf_checkpoint(
+            ckpt_path, host_state, strict=strict, img_size=self.cfg.img_size
+        )
         self.state = replicate(new_state, self.mesh)
         self._tf_imported = True
         print(f" [*] TF checkpoint imported: {report.summary()}")

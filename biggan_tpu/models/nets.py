@@ -115,8 +115,10 @@ class Generator(nn.Module):
             h, use_running_average=not train, axis_name=axis_name
         )
         h = nn.relu(h)
+        # ref G_logit conv: use_bias=False (BigGAN_128.generator, :~105)
         h = SNConv2D(
-            self.out_channels, 3, 1, use_sn=self.use_sn, dtype=self.dtype, name="conv_out"
+            self.out_channels, 3, 1, use_sn=self.use_sn, use_bias=False,
+            dtype=self.dtype, name="conv_out",
         )(h, update_sn=train)
         return jnp.tanh(h.astype(jnp.float32))
 

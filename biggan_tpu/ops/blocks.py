@@ -34,10 +34,19 @@ from biggan_tpu.ops.pooling import avg_pool, up_sample
 
 
 class ResBlockUp(nn.Module):
-    """Conditional up-sampling G block."""
+    """Conditional up-sampling G block.
+
+    ``use_bias`` defaults to False: the reference model passes
+    ``use_bias=False`` into every G res-block (ref ``BigGAN_128.generator``,
+    :~65-110) — cBN's β provides the shift. In ``"deconv"`` mode the second
+    conv is a stride-1 **transposed** conv like the reference's ``res2``
+    (deconv k3 s1, ref ops.py:~198-222), so imported kernels keep their
+    deconv layout/SN semantics.
+    """
 
     features: int
     use_sn: bool = True
+    use_bias: bool = False
     up_mode: str = "deconv"  # "deconv" (ref-faithful) | "nn_conv" (paper)
     dtype: jnp.dtype = jnp.float32
 
@@ -49,7 +58,7 @@ class ResBlockUp(nn.Module):
         train: bool = True,
         axis_name: Optional[str] = None,
     ) -> jax.Array:
-        kw = dict(use_sn=self.use_sn, dtype=self.dtype)
+        kw = dict(use_sn=self.use_sn, use_bias=self.use_bias, dtype=self.dtype)
         norm = lambda name: ConditionalBatchNorm(dtype=self.dtype, name=name)  # noqa: E731
 
         def up_conv(name, h):
@@ -62,17 +71,21 @@ class ResBlockUp(nn.Module):
         h = up_conv("conv1", h)
         h = norm("cbn2")(h, cond, use_running_average=not train, axis_name=axis_name)
         h = nn.relu(h)
-        h = SNConv2D(self.features, 3, 1, name="conv2", **kw)(h, update_sn=train)
+        if self.up_mode == "deconv":
+            h = SNConvTranspose2D(self.features, 3, 1, name="conv2", **kw)(h, update_sn=train)
+        else:
+            h = SNConv2D(self.features, 3, 1, name="conv2", **kw)(h, update_sn=train)
 
         skip = up_conv("skip", x)
         return h + skip
 
 
 class ResBlockDown(nn.Module):
-    """Down-sampling D block."""
+    """Down-sampling D block (ref passes ``use_bias=False`` into D blocks)."""
 
     features: int
     use_sn: bool = True
+    use_bias: bool = False
     use_norm: bool = True  # ref keeps BN in D (ops.py:~225-247); paper omits it
     down_mode: str = "conv"  # "conv" (ref: strided conv) | "pool" (paper: conv + avgpool)
     dtype: jnp.dtype = jnp.float32
@@ -84,7 +97,7 @@ class ResBlockDown(nn.Module):
         train: bool = True,
         axis_name: Optional[str] = None,
     ) -> jax.Array:
-        kw = dict(use_sn=self.use_sn, dtype=self.dtype)
+        kw = dict(use_sn=self.use_sn, use_bias=self.use_bias, dtype=self.dtype)
 
         def maybe_norm(name, h):
             if not self.use_norm:
@@ -111,10 +124,12 @@ class ResBlockDown(nn.Module):
 
 
 class ResBlock(nn.Module):
-    """No-resize block — the last D stage (ref ``resblock``, ops.py:~150-170)."""
+    """No-resize block — the last D stage (ref ``resblock``, ops.py:~150-170;
+    the model calls it with ``use_bias=False`` like the other D blocks)."""
 
     features: int
     use_sn: bool = True
+    use_bias: bool = False
     use_norm: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -125,7 +140,7 @@ class ResBlock(nn.Module):
         train: bool = True,
         axis_name: Optional[str] = None,
     ) -> jax.Array:
-        kw = dict(use_sn=self.use_sn, dtype=self.dtype)
+        kw = dict(use_sn=self.use_sn, use_bias=self.use_bias, dtype=self.dtype)
 
         def maybe_norm(name, h):
             if not self.use_norm:

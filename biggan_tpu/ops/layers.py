@@ -66,15 +66,17 @@ class SNDense(nn.Module, _SNMixin):
     features: int
     use_bias: bool = True
     use_sn: bool = False
+    kernel_init: nn.initializers.Initializer = kernel_init
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, update_sn: bool = False) -> jax.Array:
-        w = self.param("kernel", kernel_init, (x.shape[-1], self.features), jnp.float32)
+        w = self.param("kernel", self.kernel_init, (x.shape[-1], self.features), jnp.float32)
         w = self._maybe_sn(w, self.use_sn, update_sn)
         y = jnp.dot(x.astype(self.dtype), w.astype(self.dtype), preferred_element_type=self.dtype)
         if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
             y = y + b.astype(self.dtype)
         return y
 
@@ -121,7 +123,14 @@ class SNConvTranspose2D(nn.Module, _SNMixin):
 
     Matches TF ``conv2d_transpose(..., padding='SAME')`` output sizing
     (``H → H·stride``; ref ``deconv``, ops.py:~78-110). Kernel stored HWIO
-    (out features last) so SN reshapes to ``[-1, C_out]`` uniformly.
+    (out features last) for a uniform TPU-friendly layout; **spectral norm
+    runs over the TF deconv layout** — the reference stores deconv kernels
+    ``[H, W, out, in]`` and ``spectral_norm`` reshapes to ``[-1, in]``
+    (ref ops.py:~403: reshape to ``[-1, shape[-1]]``), so σ is the top
+    singular value of the ``[H·W·out, in]`` matrix and ``u`` has size
+    ``C_in``. We transpose to that layout before the power iteration so σ —
+    and therefore every activation under an imported reference checkpoint —
+    matches TF bit-for-bit-ish.
     """
 
     features: int
@@ -130,6 +139,21 @@ class SNConvTranspose2D(nn.Module, _SNMixin):
     use_bias: bool = True
     use_sn: bool = False
     dtype: jnp.dtype = jnp.float32
+
+    def _maybe_sn(self, w: jax.Array, use_sn: bool, update_sn: bool) -> jax.Array:
+        if not use_sn:
+            return w
+        c_in = w.shape[2]
+        u = self.variable(
+            "sn_u",
+            "u",
+            lambda: jax.random.normal(self.make_rng("params"), (c_in,), jnp.float32),
+        )
+        w_hwoi = jnp.transpose(w, (0, 1, 3, 2))  # HWIO → HWOI (TF deconv layout)
+        w_sn, u_next = spectral_normalize(w_hwoi, u.value, update=update_sn)
+        if update_sn and not self.is_initializing():
+            u.value = u_next
+        return jnp.transpose(w_sn, (0, 1, 3, 2))
 
     @nn.compact
     def __call__(self, x: jax.Array, update_sn: bool = False) -> jax.Array:

@@ -101,7 +101,15 @@ class ConditionalBatchNorm(_RunningStats):
 
     ``cond`` is ``concat(z_chunk, class_embedding)`` per the north star; the
     two projections are plain dense layers without SN (ref ops.py:~368-400
-    uses un-normalized FCs for β/γ).
+    uses un-normalized FCs for β/γ), **with biases**, exactly mirroring the
+    reference's ``γ = FC(z)`` / ``β = FC(z)`` so imported TF checkpoints
+    map kernel→kernel / bias→bias with no re-parameterization.
+
+    Init differs from the reference on purpose (our init is our choice;
+    import overwrites it): zero kernels with a ones-init γ bias give
+    γ ≈ 1, β ≈ 0 at step 0 — the standard stable BigGAN start — whereas a
+    fresh reference draw starts γ near 0 (trunc-normal(0.02) kernel, zero
+    bias), which squashes every block's output at init.
     """
 
     decay: float = _BN_DECAY
@@ -117,15 +125,22 @@ class ConditionalBatchNorm(_RunningStats):
         axis_name: Optional[str] = None,
     ) -> jax.Array:
         features = x.shape[-1]
-        # γ is offset from 1 (zero-init projection), β from 0 — standard
-        # BigGAN parameterization, equivalent at init to the reference's
-        # fresh-FC draw but stabler early in training.
-        gamma = 1.0 + SNDense(features, use_bias=False, dtype=jnp.float32, name="gamma")(
-            cond.astype(jnp.float32)
-        )
-        beta = SNDense(features, use_bias=False, dtype=jnp.float32, name="beta")(
-            cond.astype(jnp.float32)
-        )
+        cond32 = cond.astype(jnp.float32)
+        gamma = SNDense(
+            features,
+            use_bias=True,
+            dtype=jnp.float32,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.ones,
+            name="gamma",
+        )(cond32)
+        beta = SNDense(
+            features,
+            use_bias=True,
+            dtype=jnp.float32,
+            kernel_init=nn.initializers.zeros,
+            name="beta",
+        )(cond32)
         mean_v, var_v = self.stats(features)
         if use_running_average:
             mean, var = mean_v.value, var_v.value

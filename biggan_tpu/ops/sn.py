@@ -123,6 +123,9 @@ def sigma_metrics(params, sn_u, prefix: str = "") -> dict:
         w = flat_p.get(kernel_path)
         if w is None:
             continue
+        if w.ndim == 4 and u.shape[0] == w.shape[2] and w.shape[2] != w.shape[3]:
+            # deconv kernel: SN runs over the TF [H·W·out, in] matrix
+            w = w.transpose(0, 1, 3, 2)
         sigma, _ = power_iteration(w.reshape(-1, w.shape[-1]), u)
         out[f"{prefix}sigma/{scope or 'kernel'}"] = sigma
     return out

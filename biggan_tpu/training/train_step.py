@@ -196,8 +196,7 @@ def make_train_step(cfg: GANConfig, axis_name: Optional[str] = None):
         rng = state.rng
         d_params, d_state, d_opt_state = state.d_params, state.d_state, state.d_opt_state
 
-        d_losses = []
-        d_gnorm = jnp.zeros((), jnp.float32)
+        d_losses, d_gnorms = [], []
         for i in range(cfg.n_critic):
             rng, d_rng = jax.random.split(rng)
             labels_i = batch["label"][i] if "label" in batch else None
@@ -207,6 +206,8 @@ def make_train_step(cfg: GANConfig, axis_name: Optional[str] = None):
                 batch["image"][i], labels_i, d_rng,
             )
             d_losses.append(d_loss)
+            d_gnorms.append(d_gnorm)
+        d_gnorm = jnp.mean(jnp.stack(d_gnorms))  # mean over critic steps, not last
 
         rng, g_rng = jax.random.split(rng)
         g_params, g_state, g_opt_state, g_loss, g_gnorm = g_update(

@@ -1,0 +1,135 @@
+"""Epoch-shuffle traversal: each file exactly once per epoch, resumable.
+
+The reference does shuffled full passes (``shuffle_and_repeat``,
+ref BigGAN_128.py:~188-194) and resumes epoch/idx from the checkpoint
+counter (:~272-278). Covers the Python source and the native C++ loader.
+"""
+
+import numpy as np
+import pytest
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+from biggan_tpu.data.pipeline import ImageFolderSource  # noqa: E402
+
+
+@pytest.fixture
+def flat_dataset(tmp_path):
+    rng = np.random.RandomState(0)
+    for i in range(7):  # deliberately not a divisor of any batch size
+        arr = rng.randint(0, 256, (8, 8, 3), np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"img_{i}.png")
+    return tmp_path
+
+
+def _index_source(root, **kw):
+    """Source whose 'images' encode the file index — traversal is observable."""
+    src = ImageFolderSource(str(root), img_size=4, **kw)
+    files = sorted(src.files)
+    src.files = files
+    src._load = lambda path: np.full((4, 4, 3), files.index(path), np.uint8)
+    return src
+
+
+def test_epoch_visits_each_file_exactly_once(flat_dataset):
+    src = _index_source(flat_dataset, sampling="shuffle")
+    n = len(src)
+    ids = src.batch(n)["image"][:, 0, 0, 0]
+    assert sorted(ids.tolist()) == list(range(n))  # a full permutation
+    # second epoch: again exactly once each, in a different order
+    ids2 = src.batch(n)["image"][:, 0, 0, 0]
+    assert sorted(ids2.tolist()) == list(range(n))
+    assert ids.tolist() != ids2.tolist()
+
+
+def test_epoch_boundary_spanning_batches(flat_dataset):
+    """Batches that straddle the epoch boundary still give exact coverage."""
+    src = _index_source(flat_dataset, sampling="shuffle")
+    n = len(src)
+    seen = np.concatenate(
+        [src.batch(3)["image"][:, 0, 0, 0] for _ in range((2 * n) // 3 + 1)]
+    )[: 2 * n]
+    counts = np.bincount(seen, minlength=n)
+    assert (counts == 2).all()  # two epochs → each file exactly twice
+
+
+def test_seek_resumes_traversal(flat_dataset):
+    src = _index_source(flat_dataset, sampling="shuffle", seed=5)
+    consumed = np.concatenate([src.batch(3)["image"][:, 0, 0, 0] for _ in range(4)])
+
+    fresh = _index_source(flat_dataset, sampling="shuffle", seed=5)
+    fresh.seek(6)  # two batches in
+    resumed = np.concatenate([fresh.batch(3)["image"][:, 0, 0, 0] for _ in range(2)])
+    np.testing.assert_array_equal(resumed, consumed[6:12])
+
+
+def test_iid_mode_keeps_replacement_semantics(flat_dataset):
+    src = _index_source(flat_dataset, sampling="iid")
+    n = len(src)
+    # 8 epochs worth of draws virtually guarantees a repeat within some epoch
+    ids = np.concatenate([src.batch(n)["image"][:, 0, 0, 0] for _ in range(8)])
+    counts = np.bincount(ids, minlength=n)
+    assert not (counts == 8).all()  # with-replacement ≠ exact coverage
+
+
+def test_native_loader_epoch_exact(tmp_path):
+    from biggan_tpu.data import native_loader
+
+    if not native_loader.available():
+        pytest.skip("native loader toolchain unavailable")
+
+    rng = np.random.RandomState(1)
+    files = []
+    for i in range(6):
+        arr = rng.randint(0, 256, (8, 8, 3), np.uint8)
+        p = tmp_path / f"img_{i}.png"
+        Image.fromarray(arr).save(p)
+        files.append(str(p))
+    # unique label per file makes the traversal observable
+    labels = np.arange(len(files), dtype=np.int32)
+
+    # n_threads=1: multiple workers interleave their pulls from the shared
+    # cursor, so per-batch permutation structure needs a single worker
+    # (global exactness holds regardless; order within a batch does not)
+    nsrc = native_loader.NativeImageFolderSource(
+        files, labels, img_size=4, batch=len(files), seed=3,
+        sampling="shuffle", n_threads=1,
+    )
+    try:
+        first = np.sort(nsrc.batch(len(files))["label"])
+        second_raw = nsrc.batch(len(files))["label"]
+    finally:
+        nsrc.close()
+    np.testing.assert_array_equal(first, labels)
+    np.testing.assert_array_equal(np.sort(second_raw), labels)
+
+
+def test_native_loader_start_count_resume(tmp_path):
+    from biggan_tpu.data import native_loader
+
+    if not native_loader.available():
+        pytest.skip("native loader toolchain unavailable")
+
+    rng = np.random.RandomState(2)
+    files = []
+    for i in range(8):
+        arr = rng.randint(0, 256, (8, 8, 3), np.uint8)
+        p = tmp_path / f"img_{i}.png"
+        Image.fromarray(arr).save(p)
+        files.append(str(p))
+    labels = np.arange(len(files), dtype=np.int32)
+
+    def run(start, n_batches, batch=4):
+        src = native_loader.NativeImageFolderSource(
+            files, labels, img_size=4, batch=batch, seed=7,
+            sampling="shuffle", start_count=start, n_threads=1,
+        )
+        try:
+            return np.concatenate([src.batch(batch)["label"] for _ in range(n_batches)])
+        finally:
+            src.close()
+
+    full = run(0, 4)
+    resumed = run(8, 2)
+    np.testing.assert_array_equal(resumed, full[8:])

@@ -30,6 +30,12 @@ def test_cbn_normalizes_and_conditions(rng):
     variables = cbn.init(jax.random.PRNGKey(0), x, cond)
     y, _ = cbn.apply(variables, x, cond, use_running_average=False, mutable=["batch_stats"])
     assert y.shape == x.shape
+    # the γ/β projection kernels are zero-init (γ≈1, β≈0 at step 0) so give
+    # them nonzero values before checking cond-dependence
+    variables = jax.tree.map(
+        lambda v: v + 0.05 if v.ndim == 2 else v, variables
+    )
+    y, _ = cbn.apply(variables, x, cond, use_running_average=False, mutable=["batch_stats"])
     # different cond ⇒ different output (γ/β are cond-dependent)
     y2, _ = cbn.apply(variables, x, cond + 1.0, use_running_average=False, mutable=["batch_stats"])
     assert not np.allclose(np.asarray(y), np.asarray(y2))

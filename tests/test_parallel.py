@@ -75,10 +75,6 @@ def test_tensor_parallel_sharding_applies():
     mesh = create_mesh((4, 2), ("data", "model"))
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     shardings = param_shardings(state.g_params, mesh, shard_params=True)
-    specs = {
-        str(k): s.spec for k, s in
-        zip(jax.tree_util.tree_leaves_with_path(shardings)[0:0] or [], [])
-    }
     # at least one kernel actually sharded over 'model'
     leaves = jax.tree.leaves(shardings)
     sharded = [s for s in leaves if any(p == "model" for p in s.spec if p)]
@@ -96,6 +92,46 @@ def test_tensor_parallel_sharding_applies():
         lambda p, s, z, l: gen.apply({"params": p, **s}, z, l, train=False)
     )(g_params, g_state, z, labels)
     assert out.shape == (8, 64, 64, 3)
+
+
+def test_hybrid_multislice_mesh_train_step():
+    """BASELINE config 5 path: num_slices=2 over 8 devices (2 DCN × 4 ICI).
+
+    On the CPU fixture the devices are single-granule so create_mesh
+    emulates the hybrid layout with the equivalent contiguous reshape; the
+    semantics under test — axis ordering, batch sharding over the slice-
+    spanning data axis, train-step equivalence vs single device — are the
+    same GSPMD program a real 2-slice mesh compiles.
+    """
+    from biggan_tpu.training.train_state import create_train_state
+    from biggan_tpu.training.train_step import make_train_step
+
+    cfg = _cfg(g_lr=1e-6, d_lr=1e-6, num_slices=2, mesh_shape=(8, 1))
+    mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes, num_slices=cfg.num_slices)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.devices.shape == (8, 1)
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg)
+    batch = _batch(cfg)
+    s1, m1 = jax.jit(step)(state, batch)
+
+    state_h = replicate(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
+    batch_h = jax.device_put(batch, batch_sharding(mesh, batch_dim=1))
+    sh, mh = jax.jit(step)(state_h, batch_h)
+
+    np.testing.assert_allclose(float(m1["d_loss"]), float(mh["d_loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(m1["g_loss"]), float(mh["g_loss"]), rtol=1e-4)
+    k1 = np.asarray(s1.g_params["fc_seed"]["kernel"])
+    kh = np.asarray(sh.g_params["fc_seed"]["kernel"])
+    np.testing.assert_allclose(k1, kh, atol=2e-5)
+
+
+def test_create_mesh_num_slices_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible by num_slices"):
+        create_mesh((8, 1), ("data", "model"), num_slices=3)
 
 
 def test_shard_batch_utility():

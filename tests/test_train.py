@@ -99,6 +99,7 @@ def test_unconditional_mode():
     assert np.isfinite(float(metrics["g_loss"]))
 
 
+@pytest.mark.slow
 def test_facade_train_test_checkpoint_roundtrip(tmp_path, monkeypatch):
     """The reference workflow: build → train → save → fresh object → test."""
     monkeypatch.chdir(tmp_path)
@@ -166,6 +167,7 @@ def test_cli_parses_reference_flags():
     assert cfg.img_size == 128 and cfg.batch_size == 8
 
 
+@pytest.mark.slow
 def test_remat_parity_and_training():
     """remat=True must give identical forward results and a working
     train step (it only changes what's recomputed in backward)."""
@@ -223,6 +225,7 @@ def test_device_prefetch_overlap():
         assert b["image"].sharding.spec == jax.sharding.PartitionSpec(None, "data")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("img_size", [64, 256, 512])
 def test_all_resolutions_train_step(img_size):
     """Every arch-table entry (incl. the deep 256/512 stacks with remat)
