@@ -83,9 +83,15 @@ def run_bench(
         state, metrics = step_fn(state, batches[i % len(batches)])
     jax.block_until_ready(metrics)
 
-    # The axon chip is time-shared: a window can be inflated many-fold by
-    # other tenants. Measure several windows and report the best (the
-    # uncontended hardware speed); the median is kept in detail.
+    # The axon chip is time-shared AND pool-accelerated: windows can be
+    # inflated by contention or deflated by executing on bigger hardware
+    # than one v5e (BENCH_NOTES.md "Physics check"). The HEADLINE value is
+    # the best window that is physically consistent with a single v5e
+    # (step time ≥ the chip's own roofline floor for this step's measured
+    # FLOPs/bytes). Faster-than-physics windows are real executions on
+    # pooled hardware — kept in detail, never the headline; if every
+    # window is pooled, the headline is clamped to the roofline floor (an
+    # upper bound on true single-chip speed, labeled as such).
     windows = []
     for _ in range(5):
         t0 = time.perf_counter()
@@ -95,8 +101,20 @@ def run_bench(
         windows.append((time.perf_counter() - t0) / iters)
     best, median = min(windows), sorted(windows)[len(windows) // 2]
 
+    floor_s = None
+    if tflops_per_step:
+        floor_s = max(tflops_per_step * 1e12 / 197e12, (gb_per_step or 0) * 2**30 / 819e9)
+    if floor_s is None:
+        step_s, regime = best, "unverified-no-cost-model"
+    else:
+        consistent = [w for w in windows if w >= floor_s]
+        if consistent:
+            step_s, regime = min(consistent), "single-chip-consistent"
+        else:
+            step_s, regime = floor_s, "pooled-clamped-to-roofline-upper-bound"
+
     n_chips = len(jax.devices())
-    images_per_sec = cfg.batch_size * cfg.n_critic / best
+    images_per_sec = cfg.batch_size * cfg.n_critic / step_s
     return {
         "metric": f"biggan{img_size}_train_images_per_sec_per_chip",
         "value": round(images_per_sec / n_chips, 2),
@@ -107,19 +125,14 @@ def run_bench(
             "batch_size": cfg.batch_size,
             "ch": ch,
             "n_chips": n_chips,
-            "step_ms": round(1000 * best, 2),
+            "regime": regime,
+            "step_ms": round(1000 * step_s, 2),
+            "step_ms_best_window": round(1000 * best, 2),
             "step_ms_median": round(1000 * median, 2),
+            "roofline_floor_ms": round(1000 * floor_s, 2) if floor_s else None,
+            "pooled_images_per_sec": round(cfg.batch_size * cfg.n_critic / best / n_chips, 2),
             "model_tflops_per_step": tflops_per_step,
             "hbm_gb_per_step": gb_per_step,
-            # single-v5e roofline floor (197 TFLOP/s bf16, 819 GB/s HBM);
-            # a best window below it means the pooled backend executed on
-            # more capable hardware — see BENCH_NOTES.md "Physics check"
-            "regime": (
-                "pooled-accelerated"
-                if tflops_per_step
-                and best < max(tflops_per_step / 197.0, (gb_per_step or 0) * 2**30 / 819e9)
-                else "single-chip-consistent"
-            ),
             "d_loss": float(metrics["d_loss"]),
             "g_loss": float(metrics["g_loss"]),
         },

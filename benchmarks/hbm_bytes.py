@@ -1,0 +1,109 @@
+"""Per-variant HBM-byte probe for the BigGAN-128 train step.
+
+The step is HBM-bandwidth-bound on a single v5e (BENCH_NOTES.md roofline:
+64.3 GB/step ≈ 90% of 819 GB/s at the measured 86.8 ms), so the lever is
+bytes, not FLOPs. This probe compiles the fused train step under config
+variants and prints XLA's cost analysis (TFLOP + GB per step) plus, with
+``--time``, best-of-N timed windows — giving a deterministic byte
+comparison even when the time-shared chip is noisy.
+
+Usage:  python benchmarks/hbm_bytes.py [--time] [--variants base,remat,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+VARIANTS = {
+    # name -> config overrides on top of the bench config
+    "base": {},
+    "remat": {"remat": True},
+    "attn_xla": {"attn_impl": "xla"},
+    "sn_xla": {"sn_impl": "xla"},
+    "no_dnorm": {"d_norm": False},
+    "nn_conv": {"g_up_mode": "nn_conv"},
+    "fused_gd": {"fused_gd": True},
+    "fused_gd_remat": {"fused_gd": True, "remat": True},
+    "base_b64": {"batch_size": 64},
+    "base_b128": {"batch_size": 128},
+    "base_b256": {"batch_size": 256},
+}
+
+
+def probe(name: str, overrides: dict, timed: bool, iters: int = 10) -> dict:
+    import jax
+
+    from biggan_tpu.configs import get_config
+    from biggan_tpu.parallel.mesh import create_mesh
+    from biggan_tpu.parallel.sharding import batch_sharding, replicate
+    from biggan_tpu.training.train_state import create_train_state
+    from biggan_tpu.training.train_step import make_train_step
+
+    base = dict(
+        img_size=128, ch=96, batch_size=32, n_critic=1, grad_accum=1,
+        num_classes=1000, compute_dtype="bfloat16", dataset="synthetic",
+    )
+    base.update(overrides)
+    cfg = get_config("biggan128_paper", **base)
+    mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    state = replicate(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
+    step_fn = jax.jit(make_train_step(cfg), donate_argnums=0)
+
+    rng = np.random.RandomState(0)
+    batch = jax.device_put(
+        {
+            "image": rng.randint(
+                0, 256, (cfg.n_critic, cfg.batch_size, cfg.img_size, cfg.img_size, 3)
+            ).astype(np.uint8),
+            "label": rng.randint(0, cfg.num_classes, (cfg.n_critic, cfg.batch_size)).astype(np.int32),
+        },
+        batch_sharding(mesh, batch_dim=1),
+    )
+    compiled = step_fn.lower(state, batch).compile()
+    ca = compiled.cost_analysis()
+    out = {
+        "variant": name,
+        "tflops": round(ca.get("flops", 0.0) / 1e12, 3),
+        "hbm_gb": round(ca.get("bytes accessed", 0.0) / 2**30, 2),
+        # roofline floor on one v5e: max(compute, bandwidth) bound
+        "floor_ms": round(
+            1e3 * max(ca.get("flops", 0.0) / 197e12, ca.get("bytes accessed", 0.0) / 819e9), 1
+        ),
+    }
+    if timed:
+        for _ in range(3):
+            state, metrics = step_fn(state, batch)
+        jax.block_until_ready(metrics)
+        windows = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, metrics = step_fn(state, batch)
+            jax.block_until_ready(metrics)
+            windows.append((time.perf_counter() - t0) / iters * 1e3)
+        out["best_ms"] = round(min(windows), 2)
+        out["median_ms"] = round(sorted(windows)[len(windows) // 2], 2)
+        out["d_loss"] = float(metrics["d_loss"])
+        out["g_loss"] = float(metrics["g_loss"])
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--time", action="store_true")
+    ap.add_argument("--variants", type=str, default="base,remat")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+    for name in args.variants.split(","):
+        try:
+            print(json.dumps(probe(name, VARIANTS[name], args.time, args.iters)), flush=True)
+        except Exception as e:  # keep probing other variants
+            print(json.dumps({"variant": name, "error": repr(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -29,7 +29,9 @@ def parse_args(argv=None) -> GANConfig:
     parser.add_argument("--eval_num", type=int, default=None,
                         help="samples per side for --phase eval FID/IS")
     parser.add_argument("--dataset", type=str, default=None,
-                        help="dataset name under ./dataset/, or 'synthetic'")
+                        help="dataset name under --data_root, or 'synthetic'")
+    parser.add_argument("--data_root", type=str, default=None,
+                        help="parent dir of datasets (default ./dataset, ref layout)")
     parser.add_argument("--epoch", type=int, default=None)
     parser.add_argument("--iteration", type=int, default=None, help="iterations per epoch")
     parser.add_argument("--batch_size", type=int, default=None, help="global batch size")
@@ -73,6 +75,9 @@ def parse_args(argv=None) -> GANConfig:
     parser.add_argument("--sn_impl", type=str, default=None,
                         choices=["auto", "xla", "pallas"])
     parser.add_argument("--remat", type=str2bool, default=None)
+    parser.add_argument("--fused_gd", type=str2bool, default=None,
+                        help="share one G forward between D and G updates "
+                             "(simultaneous-style update; saves HBM traffic)")
     parser.add_argument("--profile_steps", type=int, default=None,
                         help=">0: capture a jax.profiler trace of N train steps")
     parser.add_argument("--tf_import", type=str, default=None,

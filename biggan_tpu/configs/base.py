@@ -21,7 +21,8 @@ class GANConfig:
     # --- phase / bookkeeping (ref main.py flags) ---
     phase: str = "train"  # train | test | eval (FID/IS — new over the reference)
     eval_num: int = 10_000  # samples per side for --phase eval FID/IS
-    dataset: str = "synthetic"  # dataset name → ./dataset/<name>/*.* or "synthetic"
+    dataset: str = "synthetic"  # dataset name → <data_root>/<name>/*.* or "synthetic"
+    data_root: str = "dataset"  # parent dir of datasets (ref hardcodes ./dataset)
     checkpoint_dir: str = "checkpoint"
     result_dir: str = "results"
     log_dir: str = "logs"
@@ -49,6 +50,12 @@ class GANConfig:
     beta2: float = 0.9
     moving_decay: float = 0.9999  # EMA decay for the averaged generator
     n_critic: int = 1  # D updates per G update (ref: 1; paper: 2)
+    # Share one G forward between the D and G updates (simultaneous-style
+    # GAN update: G gradient against the PRE-update D, same z as the D
+    # step). Cuts one full G forward + one D forward of HBM traffic per
+    # iteration — a big lever for the HBM-bound step (BENCH_NOTES.md).
+    # Off by default: the reference is sequential (SURVEY §3.1).
+    fused_gd: bool = False
     ortho_reg: float = 1e-4  # orthogonal regularization scale on G (0 = off)
     gp_weight: float = 10.0  # gradient-penalty weight for wgan-gp/lp, dragan
 

@@ -35,7 +35,9 @@ def evaluate_gan(
 
     from biggan_tpu.data.pipeline import make_dataset
 
-    source = make_dataset(cfg.dataset, cfg.img_size, cfg.num_classes, seed)
+    source = make_dataset(
+        cfg.dataset, cfg.img_size, cfg.num_classes, seed, data_root=cfg.data_root
+    )
 
     real_m = StreamingMoments(FEATURE_DIM)
     fake_m = StreamingMoments(FEATURE_DIM)

@@ -40,9 +40,15 @@ class _ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # he_normal, not flax's default lecun_normal: the random-init FID
+        # fallback must preserve activation variance through ~20 ReLU
+        # layers (lecun+ReLU halves variance per layer → features collapse
+        # to ~1e-6 std and FID stops discriminating — caught empirically).
+        # Irrelevant when real weights are loaded (init is overwritten).
         x = nn.Conv(
             self.features, self.kernel, self.strides, padding=self.padding,
             use_bias=False, dtype=self.dtype, name="conv",
+            kernel_init=nn.initializers.he_normal(),
         )(x)
         # eval-only: BN folds to a per-channel affine from stored stats
         scale = self.param("bn_scale", nn.initializers.ones, (self.features,), jnp.float32)

@@ -129,7 +129,7 @@ class BigGAN:
 
         source = make_dataset(
             cfg.dataset, cfg.img_size, cfg.num_classes, cfg.seed,
-            sampling=cfg.data_sampling,
+            data_root=cfg.data_root, sampling=cfg.data_sampling,
         )
         # resume the epoch-shuffle traversal where the restored step left it
         # (ref resumes epoch/idx from the ckpt counter, BigGAN_128.py:~272-278)

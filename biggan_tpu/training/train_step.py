@@ -181,6 +181,117 @@ def make_train_step(cfg: GANConfig, axis_name: Optional[str] = None):
         gnorm = optax.global_norm(grads) if cfg.log_grad_norms else jnp.zeros(())
         return g_params, g_state, g_opt_state, loss, gnorm
 
+    # ------------------------------------------------- fused G+D (1 fwd)
+    def fused_microbatch_loss(gp_dp, g_state, d_state, real, labels, rng):
+        """Joint loss whose gradient splits exactly into (g_grads, d_grads).
+
+        One shared G forward per microbatch: ``fake`` feeds the D loss
+        through a stop-gradient and the G loss directly; the G loss sees a
+        stop-gradient'd copy of the D parameters, so
+        ``∂(d_loss+g_loss)/∂d = ∂d_loss/∂d`` and ``∂(·)/∂g = ∂g_loss/∂g``.
+        The two D(fake) applications share identical primals (same params,
+        state, input) and XLA CSEs them into one — the whole iteration
+        costs one G fwd + two D fwds instead of the sequential step's two
+        G fwds + three D fwds. Semantics delta vs the reference's
+        sequential sess.runs (SURVEY §3.1): the G update is taken against
+        the PRE-update D (simultaneous GAN updates) and reuses the D
+        step's z instead of drawing a fresh one.
+        """
+        g_params, d_params = gp_dp
+        z_rng, label_rng = jax.random.split(rng)
+        z = sample_z(z_rng, (real.shape[0], cfg.z_dim), cfg.train_z_dist, cfg.truncation)
+        fake_labels = _sample_labels(label_rng, real.shape[0], cfg.num_classes)
+        fake, g_mut = gen_forward(g_params, g_state, z, fake_labels)
+        fake = fake.astype(real.dtype)
+
+        real_logits, d_mut = disc_forward(d_params, d_state, real, labels)
+        fake_sg = jax.lax.stop_gradient(fake)
+        # both fake applications must see the SAME input state (post-real):
+        # SN's u advances per call, and identical primals are what lets XLA
+        # CSE the two D(fake) forwards into one.
+        d_state_fake_in = d_mut
+        fl_d, d_mut = disc_forward(d_params, d_state_fake_in, fake_sg, fake_labels)
+        d_loss = discriminator_loss(cfg.gan_type, real_logits, fl_d)
+        if cfg.gan_type in ("wgan-gp", "wgan-lp", "dragan"):
+            gp_rng = jax.random.fold_in(rng, 7)
+            d_apply = lambda imgs: disc_forward(d_params, d_state, imgs, labels)[0]  # noqa: E731
+            d_loss = d_loss + gradient_penalty(
+                d_apply, gp_rng, real, fake_sg, cfg.gan_type, cfg.gp_weight
+            )
+
+        fl_g, _ = disc_forward(
+            jax.lax.stop_gradient(d_params),
+            jax.lax.stop_gradient(d_state_fake_in),
+            fake,
+            fake_labels,
+        )
+        g_loss = generator_loss(cfg.gan_type, fl_g)
+        if cfg.ortho_reg > 0:
+            g_loss = g_loss + orthogonal_regularization(g_params, cfg.ortho_reg)
+        return d_loss + g_loss, (d_loss, g_loss, g_mut, d_mut)
+
+    def fused_train_step(state: GANTrainState, batch: dict):
+        import chex
+
+        chex.assert_shape(
+            batch["image"], (1, cfg.batch_size, cfg.img_size, cfg.img_size, 3)
+        )
+        rng = state.rng
+        rng, flip_rng, step_rng = jax.random.split(rng, 3)
+        real = prepare_real(batch["image"][0], flip_rng)
+        labels = batch["label"][0] if "label" in batch else None
+
+        real_m = real.reshape(cfg.grad_accum, micro, *real.shape[1:])
+        rngs = jax.random.split(step_rng, cfg.grad_accum)
+        xs_list = [
+            (real_m[i],
+             None if labels is None else labels.reshape(cfg.grad_accum, micro)[i],
+             rngs[i])
+            for i in range(cfg.grad_accum)
+        ]
+
+        def loss_and_mut_grad(states, real_i, labels_i, rng_i):
+            g_state, d_state = states
+            (_, aux), grads = jax.value_and_grad(fused_microbatch_loss, has_aux=True)(
+                (state.g_params, state.d_params), g_state, d_state, real_i, labels_i, rng_i
+            )
+            d_loss, g_loss, g_mut, d_mut = aux
+            return (jnp.stack([d_loss, g_loss]), (g_mut, d_mut)), grads
+
+        grads, losses, (g_state, d_state) = _accumulate(
+            loss_and_mut_grad, (state.g_state, state.d_state), xs_list, cfg.grad_accum
+        )
+        g_grads, d_grads = grads
+        d_loss, g_loss = losses[0], losses[1]
+
+        d_updates, d_opt_state = d_opt.update(d_grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+        g_updates, g_opt_state = g_opt.update(g_grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        decay = cfg.moving_decay
+        g_ema_params = jax.tree.map(
+            lambda e, p: decay * e + (1.0 - decay) * p, state.g_ema_params, g_params
+        )
+        new_state = GANTrainState(
+            step=state.step + 1,
+            g_params=g_params,
+            d_params=d_params,
+            g_state=g_state,
+            d_state=d_state,
+            g_opt_state=g_opt_state,
+            d_opt_state=d_opt_state,
+            g_ema_params=g_ema_params,
+            rng=rng,
+        )
+        metrics = {
+            "d_loss": d_loss,
+            "g_loss": g_loss,
+            "d_grad_norm": optax.global_norm(d_grads) if cfg.log_grad_norms else jnp.zeros(()),
+            "g_grad_norm": optax.global_norm(g_grads) if cfg.log_grad_norms else jnp.zeros(()),
+        }
+        return new_state, metrics
+
     # --------------------------------------------------------------- step
     def train_step(state: GANTrainState, batch: dict):
         """batch["image"]: [n_critic, batch_size, H, W, C] in [-1, 1];
@@ -240,6 +351,10 @@ def make_train_step(cfg: GANConfig, axis_name: Optional[str] = None):
         }
         return new_state, metrics
 
+    if cfg.fused_gd:
+        if cfg.n_critic != 1:
+            raise ValueError("fused_gd requires n_critic=1 (one shared fake batch)")
+        return fused_train_step
     return train_step
 
 

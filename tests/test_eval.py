@@ -70,6 +70,7 @@ class TestInceptionScore:
 
 
 class TestInceptionNetwork:
+    @pytest.mark.slow
     def test_feature_shapes_and_fid_sanity(self, rng):
         """Random-init Inception: features have the right shape and FID
         separates identical from shifted image distributions."""
@@ -96,6 +97,44 @@ class TestInceptionNetwork:
         imgs_b = np.clip(np.asarray(imgs_a) * 0.2 + 0.5, -1, 1)
         fid_diff = compute_fid(batches(imgs_a), batches(imgs_b), feature_fn, max_samples=4)
         assert fid_diff > fid_same
+
+
+class TestRandomFeatureDiscriminativeness:
+    @pytest.mark.slow
+    def test_random_features_separate_distributions(self):
+        """Regression: the random-init fallback must actually discriminate.
+        (With flax's default lecun init, 20 ReLU layers collapsed features
+        to ~1e-6 std and FID(structured, noise) measured 1.7e-05 — useless
+        for trend evidence. he_normal keeps variance alive; demand a wide
+        margin between different-dist and same-dist FIDs.)"""
+        import jax.numpy as jnp
+
+        from biggan_tpu.data.toy import render
+        from biggan_tpu.eval.fid import StreamingMoments, frechet_distance
+        from biggan_tpu.eval.inception import FEATURE_DIM, load_params, make_feature_fn
+
+        params, pretrained = load_params(seed=0)
+        assert not pretrained
+        fn = make_feature_fn(params)
+        rng = np.random.RandomState(0)
+        structured = np.stack(
+            [render(i % 10, np.random.default_rng(i), 32) for i in range(96)]
+        ).astype(np.float32) / 127.5 - 1.0
+        noise = rng.rand(96, 32, 32, 3).astype(np.float32) * 2 - 1
+
+        fa = np.asarray(fn(jnp.asarray(structured))[0])
+        fb = np.asarray(fn(jnp.asarray(noise))[0])
+        assert fa.std() > 1e-2, "random features collapsed again"
+
+        def fid(x, y):
+            mx, my = StreamingMoments(FEATURE_DIM), StreamingMoments(FEATURE_DIM)
+            mx.update(x)
+            my.update(y)
+            return frechet_distance(*mx.finalize(), *my.finalize())
+
+        different = fid(fa, fb)
+        same = fid(fa[:48], fa[48:])
+        assert different > 5 * same, (different, same)
 
 
 class TestEvaluateGan:
@@ -218,6 +257,82 @@ class TestInceptionConverter:
         )
         for k, v in out.items():
             assert v.shape == ours[k].shape, (k, v.shape, ours[k].shape)
+
+
+def test_converter_end_to_end_pth_to_features(tmp_path):
+    """The full exact-FID weights path, exercised synthetically: a random
+    .pth in pytorch-fid state_dict naming → ``convert_inception`` CLI →
+    npz → ``load_params`` (pretrained=True) → ``make_feature_fn`` on real
+    image shapes. No network access anywhere."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import flax.traverse_util as tu
+
+    from biggan_tpu.eval import convert_inception
+    from biggan_tpu.eval.convert_inception import _BLOCK_KIND, _BRANCH_MAPS, _STEM
+    from biggan_tpu.eval.inception import InceptionV3, load_params, make_feature_fn
+
+    model = InceptionV3()
+    tree = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+    )
+    ours = tu.flatten_dict(tree, sep="/")
+
+    inv_stem = {v: k for k, v in _STEM.items()}
+    inv_branch = {kind: {v: k for k, v in m.items()} for kind, m in _BRANCH_MAPS.items()}
+    leaf_map = {
+        "bn_scale": "bn.weight", "bn_bias": "bn.bias",
+        "bn_mean": "bn.running_mean", "bn_var": "bn.running_var",
+    }
+
+    def torch_key(our_key):
+        parts = our_key.split("/")[1:]
+        if parts[0] == "logits":
+            return "fc." + ("weight" if parts[1] == "kernel" else "bias")
+        if parts[0] in inv_stem:
+            leaf = "conv.weight" if parts[1] == "conv" else leaf_map[parts[1]]
+            return f"{inv_stem[parts[0]]}.{leaf}"
+        branch = inv_branch[_BLOCK_KIND[parts[0]]][parts[1]]
+        leaf = "conv.weight" if parts[2] == "conv" else leaf_map[parts[2]]
+        return f"{parts[0]}.{branch}.{leaf}"
+
+    def torch_shape(our_key, shape):
+        if our_key.endswith("conv/kernel"):
+            h, w, i, o = shape
+            return (o, i, h, w)
+        if our_key == "params/logits/kernel":
+            return (shape[1], shape[0])
+        return tuple(shape)
+
+    rng = np.random.RandomState(0)
+    state_dict = {}
+    for k, v in ours.items():
+        arr = rng.randn(*torch_shape(k, v.shape)).astype(np.float32) * 0.05
+        if k.endswith("bn_var"):
+            arr = np.abs(arr) + 0.5  # variances must be positive
+        state_dict[torch_key(k)] = torch.from_numpy(arr)
+
+    src = tmp_path / "pt_inception_synthetic.pth"
+    dst = tmp_path / "inception.npz"
+    torch.save(state_dict, src)
+    assert convert_inception.main([str(src), str(dst)]) == 0
+
+    params, pretrained = load_params(str(dst))
+    assert pretrained is True
+    feature_fn = make_feature_fn(params)
+    images = rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1
+    feats, probs = feature_fn(jnp.asarray(images))
+    assert feats.shape == (2, 2048) and probs.shape == (2, 1008)
+    assert np.isfinite(np.asarray(feats)).all()
+    np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-4)
+    # loaded weights are the converted ones, not a random re-init
+    got = tu.flatten_dict(params, sep="/")["params/Conv2d_1a/conv/kernel"]
+    want = np.transpose(
+        state_dict["Conv2d_1a_3x3.conv.weight"].numpy(), (2, 3, 1, 0)
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
 
 
 def test_load_params_rejects_mismatched_weights(tmp_path):

@@ -8,6 +8,7 @@ single-device global batch.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from biggan_tpu.configs import GANConfig
 from biggan_tpu.parallel.mesh import create_mesh
@@ -34,6 +35,7 @@ def _batch(cfg, seed=0):
     }
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device():
     from biggan_tpu.training.train_state import create_train_state
     from biggan_tpu.training.train_step import make_train_step
@@ -128,8 +130,6 @@ def test_hybrid_multislice_mesh_train_step():
 
 
 def test_create_mesh_num_slices_validation():
-    import pytest
-
     with pytest.raises(ValueError, match="not divisible by num_slices"):
         create_mesh((8, 1), ("data", "model"), num_slices=3)
 

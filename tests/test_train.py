@@ -78,7 +78,13 @@ def test_two_step_train_state_evolution():
     assert any(np.abs(m).max() > 0 for m in bn_means)
 
 
-@pytest.mark.parametrize("gan_type", ["hinge", "wgan-gp", "gan", "lsgan", "dragan", "wgan-lp"])
+@pytest.mark.parametrize(
+    "gan_type",
+    ["hinge", "wgan-gp", "gan",
+     pytest.param("lsgan", marks=pytest.mark.slow),
+     pytest.param("dragan", marks=pytest.mark.slow),
+     pytest.param("wgan-lp", marks=pytest.mark.slow)],
+)
 def test_gan_types_train(gan_type):
     cfg = tiny_cfg(gan_type=gan_type)
     _, metrics = run_steps(cfg, n=1)
@@ -86,6 +92,7 @@ def test_gan_types_train(gan_type):
     assert np.isfinite(float(metrics["g_loss"]))
 
 
+@pytest.mark.slow
 def test_n_critic_and_grad_accum():
     cfg = tiny_cfg(n_critic=2, grad_accum=2)
     state, metrics = run_steps(cfg, n=1)
@@ -274,6 +281,7 @@ def test_remat_with_axis_name_vmap():
     assert out.shape == (4, 2, 4, 4, 8)
 
 
+@pytest.mark.slow
 def test_eval_mode_does_not_mutate_state():
     """train=False must run with NO mutable collections: cBN/BN use pop
     stats and SN uses the stored u without updating (ref test head,
