@@ -21,7 +21,11 @@ import numpy as np
 
 def run_bench(
     img_size: int = 128,
-    batch_size: int = 32,
+    # batch 256: the realistic per-chip share of the paper's global 2048,
+    # and it amortizes the ~50 GB/step batch-independent HBM traffic 8×
+    # vs batch 32 (BENCH_NOTES.md "batch scaling") — floor throughput
+    # 1,181 vs 380 img/s.
+    batch_size: int = 256,
     ch: int = 96,
     warmup: int = 3,
     iters: int = 10,

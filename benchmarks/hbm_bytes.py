@@ -31,6 +31,13 @@ VARIANTS = {
     "base_b64": {"batch_size": 64},
     "base_b128": {"batch_size": 128},
     "base_b256": {"batch_size": 256},
+    # component isolation for the ~50 GB/step batch-independent pool:
+    # each removes one fixed-cost contributor; the delta vs base is its
+    # share of the traffic
+    "no_sn": {"sn": False},
+    "no_ortho": {"ortho_reg": 0.0},
+    "no_gradnorms": {"log_grad_norms": False},
+    "f32": {"compute_dtype": "float32"},
 }
 
 

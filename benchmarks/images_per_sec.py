@@ -1,6 +1,6 @@
 """Train-step throughput across model sizes — the BASELINE metric.
 
-``python benchmarks/images_per_sec.py [--img_size 128] [--batch_size 32] ...``
+``python benchmarks/images_per_sec.py [--img_size 128] [--batch_size 256] ...``
 prints one JSON line per configuration (same schema as bench.py, which
 wraps the flagship config of this harness).
 """
@@ -20,7 +20,7 @@ from bench import run_bench  # noqa: E402
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--img_size", type=int, nargs="*", default=[128])
-    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--ch", type=int, default=96)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--attn_impl", type=str, default="auto", choices=["auto", "xla", "pallas"])

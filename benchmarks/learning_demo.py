@@ -31,6 +31,10 @@ def main() -> int:
     ap.add_argument("--root", type=str, default="runs/learning_demo")
     ap.add_argument("--dataset-root", type=str, default="dataset")
     ap.add_argument("--n-per-class", type=int, default=500)
+    # 0.99 (half-life ~69 steps), not the production 0.9999 (half-life
+    # ~6.9k steps): demo-length runs must let the EMA generator actually
+    # track training, or the FID trend evaluates near-init EMA weights.
+    ap.add_argument("--moving-decay", type=float, default=0.99)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend (smoke runs)")
     args = ap.parse_args()
 
@@ -57,6 +61,7 @@ def main() -> int:
             "biggan32_cifar10",
             dataset="toyshapes",
             data_root=args.dataset_root,
+            moving_decay=args.moving_decay,
             ch=args.ch,
             batch_size=args.batch_size,
             num_classes=10,
