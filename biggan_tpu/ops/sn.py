@@ -112,6 +112,13 @@ def sigma_metrics(params, sn_u, prefix: str = "") -> dict:
 
     ``sn_u`` is the module's ``sn_u`` variable collection; its tree
     structure mirrors ``params`` with a ``u`` leaf next to each kernel.
+
+    Deconv kernels are detected by ``u`` matching the kernel's C_in (the
+    TF reshape convention — see SNConvTranspose2D); when C_in == C_out
+    the layouts are indistinguishable here and the conv convention is
+    used, which can report a slightly different σ for square deconv
+    kernels. Observability-only: the training path always normalizes
+    with the correct layout.
     """
     import flax.traverse_util as tu
 

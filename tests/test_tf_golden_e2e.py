@@ -89,6 +89,41 @@ def test_discriminator_forward_matches_tf(golden):
 
 
 @pytest.mark.slow
+def test_256px_strict_import_and_forward_parity(tmp_path):
+    """BigGAN-256: the ref stack repeats mult-8 blocks, so its TF graph
+    relies on scope auto-uniquify (``resblock_up_8`` / ``resblock_up_8_1``)
+    — the uniquify-aware name rules must still match every leaf by name
+    and reproduce the forward (ref ``BigGAN_256.py`` per SURVEY §2.1)."""
+    from tests.tf_ref import build_and_save
+
+    img, ch, z_dim, batch = 256, 4, 140, 1
+    path = tmp_path / "BigGAN256.model"
+    z, x, g_out, d_real, _, ckpt = build_and_save(
+        str(path), img_size=img, ch=ch, z_dim=z_dim, batch=batch
+    )
+    cfg = GANConfig(
+        img_size=img, ch=ch, z_dim=z_dim, sn=True, num_classes=0,
+        batch_size=batch, compute_dtype="float32",
+        attn_impl="xla", sn_impl="xla", g_up_mode="deconv", d_norm=True,
+    )
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    new_state, report = import_tf_checkpoint(ckpt, state, strict=True, img_size=img)
+    assert report.shape_matched == {} and report.unmatched_tf == []
+
+    generator, discriminator = build_models(cfg)
+    fake = generator.apply(
+        {"params": new_state.g_params, **new_state.g_state},
+        jnp.asarray(z), None, train=False,
+    )
+    np.testing.assert_allclose(np.asarray(fake), g_out, atol=1e-4, rtol=1e-4)
+    logits = discriminator.apply(
+        {"params": new_state.d_params, **new_state.d_state},
+        jnp.asarray(x), None, train=False,
+    )
+    np.testing.assert_allclose(np.asarray(logits), d_real, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
 def test_ema_slots_filled_with_imported_weights(golden):
     """swapping_saver semantics: imported G weights land in raw AND EMA."""
     _, state, *_ = golden
