@@ -19,6 +19,24 @@ import time
 import numpy as np
 
 
+def classify_windows(windows, floor_s):
+    """Pick the headline step time from measured windows.
+
+    ``floor_s`` is the single-v5e roofline floor for this exact compiled
+    step (max of its compute and bandwidth bounds from XLA cost
+    analysis). Windows faster than the floor are physically impossible
+    on one chip — real executions on the pooled service's bigger
+    hardware — and are never the headline. Returns ``(step_s, regime)``.
+    """
+    best = min(windows)
+    if floor_s is None:
+        return best, "unverified-no-cost-model"
+    consistent = [w for w in windows if w >= floor_s]
+    if consistent:
+        return min(consistent), "single-chip-consistent"
+    return floor_s, "pooled-clamped-to-roofline-upper-bound"
+
+
 def run_bench(
     img_size: int = 128,
     # batch 256: the realistic per-chip share of the paper's global 2048,
@@ -108,14 +126,7 @@ def run_bench(
     floor_s = None
     if tflops_per_step:
         floor_s = max(tflops_per_step * 1e12 / 197e12, (gb_per_step or 0) * 2**30 / 819e9)
-    if floor_s is None:
-        step_s, regime = best, "unverified-no-cost-model"
-    else:
-        consistent = [w for w in windows if w >= floor_s]
-        if consistent:
-            step_s, regime = min(consistent), "single-chip-consistent"
-        else:
-            step_s, regime = floor_s, "pooled-clamped-to-roofline-upper-bound"
+    step_s, regime = classify_windows(windows, floor_s)
 
     n_chips = len(jax.devices())
     images_per_sec = cfg.batch_size * cfg.n_critic / step_s

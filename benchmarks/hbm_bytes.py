@@ -38,6 +38,7 @@ VARIANTS = {
     "no_ortho": {"ortho_reg": 0.0},
     "no_gradnorms": {"log_grad_norms": False},
     "f32": {"compute_dtype": "float32"},
+    "bf16_mu": {"adam_mu_dtype": "bfloat16"},
 }
 
 

@@ -49,6 +49,11 @@ class GANConfig:
     beta1: float = 0.0
     beta2: float = 0.9
     moving_decay: float = 0.9999  # EMA decay for the averaged generator
+    # dtype of Adam's first moment (optax mu_dtype). "bfloat16" halves the
+    # mu read+write traffic of both optimizers — part of the ~50 GB/step
+    # batch-independent HBM pool (BENCH_NOTES.md). First-moment precision
+    # is forgiving (it's a smoothed gradient); the second moment stays f32.
+    adam_mu_dtype: str = "float32"
     n_critic: int = 1  # D updates per G update (ref: 1; paper: 2)
     # Share one G forward between the D and G updates (simultaneous-style
     # GAN update: G gradient against the PRE-update D, same z as the D

@@ -77,8 +77,9 @@ def build_models(cfg: GANConfig):
 
 def build_optimizers(cfg: GANConfig):
     # ref build_model (BigGAN_128.py:~240): Adam(g_lr, β1, β2) / Adam(d_lr, β1, β2)
-    g_opt = optax.adam(cfg.g_lr, b1=cfg.beta1, b2=cfg.beta2)
-    d_opt = optax.adam(cfg.d_lr, b1=cfg.beta1, b2=cfg.beta2)
+    mu_dtype = jnp.dtype(cfg.adam_mu_dtype)
+    g_opt = optax.adam(cfg.g_lr, b1=cfg.beta1, b2=cfg.beta2, mu_dtype=mu_dtype)
+    d_opt = optax.adam(cfg.d_lr, b1=cfg.beta1, b2=cfg.beta2, mu_dtype=mu_dtype)
     return g_opt, d_opt
 
 
