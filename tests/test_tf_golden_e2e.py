@@ -31,7 +31,7 @@ def golden(tmp_path_factory):
     from tests.tf_ref import build_and_save
 
     path = tmp_path_factory.mktemp("tf_ckpt") / "BigGAN.model"
-    z, x, g_out, d_real, d_fake, ckpt = build_and_save(
+    z, x, g_out, d_real, d_fake, ckpt, g_train, d_real_train = build_and_save(
         str(path), img_size=IMG, ch=CH, z_dim=Z_DIM, batch=BATCH
     )
 
@@ -42,7 +42,7 @@ def golden(tmp_path_factory):
     )
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     new_state, report = import_tf_checkpoint(ckpt, state, strict=True, img_size=IMG)
-    return cfg, new_state, report, z, x, g_out, d_real, d_fake
+    return cfg, new_state, report, z, x, g_out, d_real, d_fake, g_train, d_real_train
 
 
 @pytest.mark.slow
@@ -70,7 +70,7 @@ def test_generator_forward_matches_tf(golden):
 
 @pytest.mark.slow
 def test_discriminator_forward_matches_tf(golden):
-    cfg, state, _, _, x, _, d_real, d_fake = golden
+    cfg, state, _, _, x, _, d_real, d_fake, _, _ = golden
     generator, discriminator = build_models(cfg)
     logits = discriminator.apply(
         {"params": state.d_params, **state.d_state}, jnp.asarray(x), None, train=False
@@ -89,6 +89,25 @@ def test_discriminator_forward_matches_tf(golden):
 
 
 @pytest.mark.slow
+def test_train_mode_forward_matches_tf(golden):
+    """Train-mode parity: batch-moment cBN/BN normalization and the
+    power-iteration σ must match TF's training graph element-wise (the
+    path every gradient flows through)."""
+    cfg, state, _, z, x, *_, g_train, d_real_train = golden
+    generator, discriminator = build_models(cfg)
+    fake, _ = generator.apply(
+        {"params": state.g_params, **state.g_state}, jnp.asarray(z), None,
+        train=True, mutable=["batch_stats", "sn_u"],
+    )
+    np.testing.assert_allclose(np.asarray(fake), g_train, atol=1e-4, rtol=1e-4)
+    logits, _ = discriminator.apply(
+        {"params": state.d_params, **state.d_state}, jnp.asarray(x), None,
+        train=True, mutable=["batch_stats", "sn_u"],
+    )
+    np.testing.assert_allclose(np.asarray(logits), d_real_train, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
 def test_256px_strict_import_and_forward_parity(tmp_path):
     """BigGAN-256: the ref stack repeats mult-8 blocks, so its TF graph
     relies on scope auto-uniquify (``resblock_up_8`` / ``resblock_up_8_1``)
@@ -98,7 +117,7 @@ def test_256px_strict_import_and_forward_parity(tmp_path):
 
     img, ch, z_dim, batch = 256, 4, 140, 1
     path = tmp_path / "BigGAN256.model"
-    z, x, g_out, d_real, _, ckpt = build_and_save(
+    z, x, g_out, d_real, _, ckpt, _, _ = build_and_save(
         str(path), img_size=img, ch=ch, z_dim=z_dim, batch=batch
     )
     cfg = GANConfig(

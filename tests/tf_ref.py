@@ -304,6 +304,9 @@ def build_and_save(ckpt_path: str, img_size: int, ch: int, z_dim: int, batch: in
         d_real = discriminator(x, img_size, ch, is_training=False)
         tf1.get_variable_scope().reuse_variables()
         d_fake = discriminator(fake, img_size, ch, is_training=False)
+        # train-mode heads (batch-moment BN/cBN path; same variables)
+        fake_train = generator(z, img_size, ch, is_training=True)
+        d_real_train = discriminator(x, img_size, ch, is_training=True)
 
         # randomize the running stats so pop-stat parity is exercised
         assigns = []
@@ -318,8 +321,9 @@ def build_and_save(ckpt_path: str, img_size: int, ch: int, z_dim: int, batch: in
         with tf1.Session(graph=graph) as sess:
             sess.run(tf1.global_variables_initializer())
             sess.run(assigns)
-            g_out, dr_out, df_out = sess.run(
-                [fake, d_real, d_fake], feed_dict={z: z_np, x: x_np}
+            g_out, dr_out, df_out, g_tr, dr_tr = sess.run(
+                [fake, d_real, d_fake, fake_train, d_real_train],
+                feed_dict={z: z_np, x: x_np},
             )
             saved = saver.save(sess, ckpt_path, global_step=100)
-    return z_np, x_np, g_out, dr_out, df_out, saved
+    return z_np, x_np, g_out, dr_out, df_out, saved, g_tr, dr_tr
