@@ -63,28 +63,50 @@ class CheckpointManager:
             return None
         return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract_state))
 
-    def install_preemption_hook(self, get_state) -> None:
-        """SIGTERM → best-effort synchronous save, then default termination.
+    def install_preemption_hook(self, get_state=None) -> None:
+        """SIGTERM → request a save at the next step boundary.
 
-        The save is best-effort because the signal can land mid-step while
-        the caller's state still references buffers donated to the running
-        jitted step — ``device_get`` on those raises; in that case we skip
-        the save (the previous periodic checkpoint remains valid) rather
-        than crash inside the handler. Termination is then re-delivered as
-        a real SIGTERM (not SIGINT semantics).
+        Saving *inside* the handler is unsafe almost always: the signal
+        lands mid-step with high probability (steps run back-to-back), and
+        at that moment the caller's state still references buffers donated
+        to the running jitted step — ``device_get`` on them raises. So the
+        handler only sets :attr:`preemption_requested`; the training loop
+        polls it after each completed step, saves a consistent state, and
+        calls :meth:`redeliver_sigterm`. This matches how TPU orchestrators
+        deliver preemption (SIGTERM, then a grace period ≫ one step).
+
+        ``get_state`` is kept for a best-effort *fallback* save if the
+        process is about to die without a cooperating loop (a second
+        SIGTERM while one is already pending).
         """
+        self._preempt_requested = False
+        self._get_state = get_state
 
         def handler(signum, frame):
-            try:
-                state = get_state()
-                if state is not None:
-                    self.save(state, force=True)
-            except Exception as e:  # donated buffers / mid-step interrupt
-                print(f" [!] preemption save skipped: {e}", flush=True)
-            signal.signal(signal.SIGTERM, signal.SIG_DFL)
-            os.kill(os.getpid(), signal.SIGTERM)
+            if self._preempt_requested:
+                # second SIGTERM: the loop didn't get there — best effort now
+                try:
+                    state = self._get_state() if self._get_state else None
+                    if state is not None:
+                        self.save(state, force=True)
+                except Exception as e:  # donated buffers / mid-step interrupt
+                    print(f" [!] preemption save skipped: {e}", flush=True)
+                self.redeliver_sigterm()
+            self._preempt_requested = True
+            print(" [!] SIGTERM received — will checkpoint at the next step boundary",
+                  flush=True)
 
         signal.signal(signal.SIGTERM, handler)
+
+    @property
+    def preemption_requested(self) -> bool:
+        return getattr(self, "_preempt_requested", False)
+
+    def redeliver_sigterm(self) -> None:
+        """Restore the default handler and re-deliver SIGTERM (real signal
+        semantics for the parent/orchestrator, not SIGINT emulation)."""
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        os.kill(os.getpid(), signal.SIGTERM)
 
     def close(self):
         self._mgr.close()

@@ -152,6 +152,7 @@ class BigGAN:
 
         total_steps = cfg.epoch * cfg.iteration
         step = start_step
+        preempted = False
         # profiler trace window: skip the first (compile) step, then
         # capture cfg.profile_steps steps into logs/<model_dir>/profile
         profile_start = start_step + 2 if cfg.profile_steps > 0 else -1
@@ -169,6 +170,14 @@ class BigGAN:
                     jax.profiler.stop_trace()
                     print(f" [*] wrote profiler trace ({cfg.profile_steps} steps)")
 
+                if self.ckpt.preemption_requested:
+                    # SIGTERM landed mid-step; now the state is consistent
+                    # (no donated buffers in flight) — save and terminate
+                    print(" [!] preemption: checkpointing at step boundary", flush=True)
+                    self.save()
+                    preempted = True
+                    break
+
                 if step % cfg.print_freq == 0 or step == start_step + 1:
                     metrics = jax.device_get(metrics)
                     if cfg.log_sigma:
@@ -184,6 +193,8 @@ class BigGAN:
         finally:
             loader.close()
             logger.close()
+        if preempted:
+            self.ckpt.redeliver_sigterm()  # terminate with real SIGTERM status
         self.save()
         print(" [*] Training finished")
 

@@ -135,3 +135,42 @@ def test_orthogonal_reg_zero_for_orthogonal_weight():
     assert float(orthogonal_regularization(params)) < 1e-10
     params_bad = {"dense": {"kernel": jnp.ones((64, 16), jnp.float32)}}
     assert float(orthogonal_regularization(params_bad)) > 0.0
+
+
+def test_orthogonal_reg_small_gram_identity():
+    """The HBM-lean small-Gram form must equal the naive masked form —
+    value AND gradient — for both wide (rows<cols, the seed-FC case that
+    cost 12.7 GB/step) and tall kernels."""
+    import jax
+
+    def naive(params, scale=1e-4):
+        total = 0.0
+        for leaf in jax.tree.leaves(params):
+            w = np.asarray(leaf, np.float64).reshape(-1, leaf.shape[-1])
+            gram = w.T @ w
+            off = gram * (1.0 - np.eye(gram.shape[0]))
+            total += np.sum(off**2)
+        return scale * total
+
+    rng = np.random.RandomState(7)
+    for shape in [(8, 200), (200, 8), (3, 3, 12, 6)]:
+        params = {"m": {"kernel": jnp.asarray(rng.randn(*shape), jnp.float32)}}
+        got = float(orthogonal_regularization(params))
+        want = naive(params)
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+        # gradient check against the naive jax form
+        def naive_jax(p):
+            total = 0.0
+            for leaf in jax.tree.leaves(p):
+                w = leaf.reshape(-1, leaf.shape[-1])
+                gram = w.T @ w
+                off = gram * (1.0 - jnp.eye(gram.shape[0]))
+                total = total + jnp.sum(off**2)
+            return 1e-4 * total
+
+        g1 = jax.grad(lambda p: orthogonal_regularization(p))(params)
+        g2 = jax.grad(naive_jax)(params)
+        np.testing.assert_allclose(
+            np.asarray(g1["m"]["kernel"]), np.asarray(g2["m"]["kernel"]),
+            atol=1e-6, rtol=1e-4,
+        )
