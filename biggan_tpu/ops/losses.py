@@ -85,6 +85,50 @@ def gradient_penalty(
     return weight * jnp.mean(penalty)
 
 
+@jax.custom_vjp
+def _ortho_penalty(w_mat: jax.Array) -> jax.Array:
+    """‖WᵀW ∘ (1−I)‖²_F for one [rows, cols] f32 matrix, with a
+    closed-form gradient.
+
+    Autodiff of the naive masked form costs ~12 W-sized HBM passes per
+    kernel (measured: 1.08 GiB for one 3×3×1536×1536 kernel — ~8.5 GB/step
+    over the generator); the analytic gradient
+    ``dW = 4·(G @ W − W·colsq)`` (small-side Gram ``G``) is ~3 passes.
+    """
+    penalty, _, _ = _ortho_fwd_parts(w_mat)
+    return penalty
+
+
+def _ortho_fwd_parts(w):
+    rows, cols = w.shape
+    colsq = jnp.sum(jnp.square(w), axis=0)  # [cols] = diag(WᵀW)
+    # ‖WᵀW‖²_F == ‖WWᵀ‖²_F (same nonzero singular values) — build the
+    # Gram on the smaller side (the G seed FC is [~20, 24576]; its
+    # cols-side Gram alone is 2.4 GB)
+    gram = w @ w.T if rows < cols else w.T @ w
+    penalty = jnp.sum(jnp.square(gram)) - jnp.sum(jnp.square(colsq))
+    return penalty, gram, colsq
+
+
+def _ortho_penalty_fwd(w):
+    penalty, gram, colsq = _ortho_fwd_parts(w)
+    return penalty, (w, gram, colsq)
+
+
+def _ortho_penalty_bwd(res, g):
+    w, gram, colsq = res
+    rows, cols = w.shape
+    # d‖WᵀW‖²_F/dW = 4·W·(WᵀW) = 4·(WWᵀ)·W ; dΣdiag²/dW = 4·W·diag(colsq)
+    if rows < cols:
+        dw = 4.0 * (gram @ w - w * colsq[None, :])
+    else:
+        dw = 4.0 * (w @ gram - w * colsq[None, :])
+    return (g * dw,)
+
+
+_ortho_penalty.defvjp(_ortho_penalty_fwd, _ortho_penalty_bwd)
+
+
 def orthogonal_regularization(params, scale: float = 1e-4) -> jax.Array:
     """Paper-form orthogonal regularization over all conv/dense kernels.
 
@@ -102,15 +146,5 @@ def orthogonal_regularization(params, scale: float = 1e-4) -> jax.Array:
     for path, leaf in flat.items():
         if path[-1] != "kernel" or leaf.ndim < 2:
             continue
-        w = _f32(leaf).reshape(-1, leaf.shape[-1])
-        rows, cols = w.shape
-        # ‖WᵀW ∘ (1−I)‖²_F = ‖WᵀW‖²_F − Σ_j ‖w_:j‖⁴, and
-        # ‖WᵀW‖²_F = ‖WWᵀ‖²_F (same nonzero singular values) — so the Gram
-        # can be built on the SMALLER side. This is a pure HBM optimization
-        # with identical math: the G seed FC is [~20, 4·4·16·ch]; its
-        # cols×cols Gram is a multi-GB tensor (measured 12.7 GB/step of the
-        # train step's HBM traffic at 128px/ch96) while rows×rows is ~20².
-        col_sq = jnp.sum(jnp.square(w), axis=0)  # [cols] = diag(WᵀW)
-        gram = w @ w.T if rows < cols else w.T @ w
-        total = total + jnp.sum(jnp.square(gram)) - jnp.sum(jnp.square(col_sq))
+        total = total + _ortho_penalty(_f32(leaf).reshape(-1, leaf.shape[-1]))
     return scale * total
