@@ -120,7 +120,15 @@ def make_train_step(cfg: GANConfig, axis_name: Optional[str] = None):
         fake = jax.lax.stop_gradient(fake.astype(real.dtype))
 
         real_logits, d_mut = disc_forward(d_params, d_state, real, labels)
-        fake_logits, d_mut = disc_forward(d_params, d_mut, fake, fake_labels)
+        # The fake application reuses the ORIGINAL u vectors (batch_stats
+        # thread through normally): identical (W, u) inputs let XLA CSE
+        # the whole spectral-norm weight pass across the two D forwards —
+        # one normalization instead of two per D loss. u still advances
+        # one power iteration per D update (the reference's graph-side-
+        # effect cadence was two per sess.run pair — activation math given
+        # u is identical; only the estimator's step rate differs).
+        d_state_fake = {**d_mut, "sn_u": d_state["sn_u"]}
+        fake_logits, d_mut = disc_forward(d_params, d_state_fake, fake, fake_labels)
         loss = discriminator_loss(cfg.gan_type, real_logits, fake_logits)
         if cfg.gan_type in ("wgan-gp", "wgan-lp", "dragan"):
             d_apply = lambda imgs: disc_forward(d_params, d_state, imgs, labels)[0]  # noqa: E731
