@@ -143,6 +143,35 @@ def test_256px_strict_import_and_forward_parity(tmp_path):
 
 
 @pytest.mark.slow
+def test_512px_strict_import(tmp_path):
+    """BigGAN-512 (ref ``BigGAN_512.py``): duplicate multipliers in BOTH
+    stacks (G: 8,8 and 1,1; D: 1,1 and 8,8) — strict name-complete import
+    through every uniquified scope, plus G forward parity."""
+    from tests.tf_ref import build_and_save
+
+    img, ch, z_dim, batch = 512, 2, 160, 1
+    path = tmp_path / "BigGAN512.model"
+    z, x, g_out, *_ , ckpt, _, _ = build_and_save(
+        str(path), img_size=img, ch=ch, z_dim=z_dim, batch=batch
+    )
+    cfg = GANConfig(
+        img_size=img, ch=ch, z_dim=z_dim, sn=True, num_classes=0,
+        batch_size=batch, compute_dtype="float32",
+        attn_impl="xla", sn_impl="xla", g_up_mode="deconv", d_norm=True,
+    )
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    new_state, report = import_tf_checkpoint(ckpt, state, strict=True, img_size=img)
+    assert report.shape_matched == {} and report.unmatched_tf == []
+
+    generator, _ = build_models(cfg)
+    fake = generator.apply(
+        {"params": new_state.g_params, **new_state.g_state},
+        jnp.asarray(z), None, train=False,
+    )
+    np.testing.assert_allclose(np.asarray(fake), g_out, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
 def test_ema_slots_filled_with_imported_weights(golden):
     """swapping_saver semantics: imported G weights land in raw AND EMA."""
     _, state, *_ = golden
