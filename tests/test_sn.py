@@ -69,3 +69,63 @@ def test_sigma_metrics_tree():
     w = variables["params"]["kernel"]
     expected, _ = power_iteration(w.reshape(-1, w.shape[-1]), variables["sn_u"]["u"])
     np.testing.assert_allclose(float(sigma), float(expected), rtol=1e-6)
+
+
+def test_train_step_advances_u_once_per_update():
+    """The D loss shares u across its two forwards (weight-pass CSE), so
+    u advances exactly ONE power iteration per D update — and G's u one
+    per G update. Deterministic: new_u == iterate(W_pre_update, u0)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from biggan_tpu.configs import GANConfig
+    from biggan_tpu.ops.sn import power_iteration
+    from biggan_tpu.training.train_state import create_train_state
+    from biggan_tpu.training.train_step import make_train_step
+
+    cfg = GANConfig(
+        dataset="synthetic", img_size=32, ch=8, z_dim=16, num_classes=0,
+        batch_size=4, compute_dtype="float32", random_flip=False, sn_impl="xla",
+    )
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg))
+    batch = {
+        "image": np.random.RandomState(0).rand(1, 4, 32, 32, 3).astype(np.float32) * 2 - 1
+    }
+    new_state, _ = step(state, batch)
+
+    import flax.traverse_util as tu
+
+    for net, prefix in (("d", None), ("g", None)):
+        params = getattr(state, f"{net}_params")
+        u_old = tu.flatten_dict(getattr(state, f"{net}_state")["sn_u"], sep="/")
+        u_new = tu.flatten_dict(getattr(new_state, f"{net}_state")["sn_u"], sep="/")
+        flat_p = tu.flatten_dict(params, sep="/")
+        checked = 0
+        for path, u0 in u_old.items():
+            kpath = path[: -len("/u")] + "/kernel"
+            w = flat_p.get(kpath)
+            if w is None:
+                continue
+            # G up-block convs are transposed convs in deconv mode: SN runs
+            # over the TF [H·W·out, in] layout (see SNConvTranspose2D)
+            scope = path.split("/")
+            is_deconv = (
+                net == "g" and len(scope) >= 2 and scope[0].startswith("block_up_")
+                and scope[1] in ("conv1", "conv2", "skip") and w.ndim == 4
+            )
+            w_mat = (
+                w.transpose(0, 1, 3, 2).reshape(-1, w.shape[-2])
+                if is_deconv
+                else w.reshape(-1, w.shape[-1])
+            )
+            if w_mat.shape[-1] != u0.shape[0]:
+                continue
+            _, expected = power_iteration(w_mat, u0)
+            np.testing.assert_allclose(
+                np.asarray(u_new[path]), np.asarray(expected), atol=1e-5,
+                err_msg=f"{net}/{path}: u advanced != exactly one iteration",
+            )
+            checked += 1
+        assert checked > 0
