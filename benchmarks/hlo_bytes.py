@@ -78,6 +78,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--dump", type=str, default="",
+                    help="also write the full HLO text to this path")
     args = ap.parse_args()
 
     import jax
@@ -108,6 +110,10 @@ def main():
     )
     compiled = step_fn.lower(state, batch).compile()
     text = compiled.as_text()
+    if args.dump:
+        with open(args.dump, "w") as f:
+            f.write(text)
+        print(f"dumped {len(text)} chars to {args.dump}")
     per_op = analyze(text)
     total = sum(t for t, *_ in per_op)
     print(f"total attributed: {total / 2**30:.1f} GiB across {len(per_op)} entry ops")
