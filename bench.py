@@ -19,6 +19,51 @@ import time
 import numpy as np
 
 
+def build_bench_step(**config_overrides):
+    """Shared benchmark setup (also used by benchmarks/hbm_bytes.py and
+    benchmarks/hlo_bytes.py so every probe measures the SAME program as
+    the headline bench): flagship BigGAN-128 config + mesh + replicated
+    state + jitted donated train step + a synthetic-batch factory.
+
+    Returns ``(cfg, state, step_fn, make_batch)``.
+    """
+    import jax
+
+    from biggan_tpu.configs import get_config
+    from biggan_tpu.parallel.mesh import create_mesh
+    from biggan_tpu.parallel.sharding import batch_sharding, replicate
+    from biggan_tpu.training.train_state import create_train_state
+    from biggan_tpu.training.train_step import make_train_step
+
+    overrides = dict(
+        img_size=128, ch=96, batch_size=256, n_critic=1, grad_accum=1,
+        num_classes=1000, compute_dtype="bfloat16", dataset="synthetic",
+    )
+    overrides.update(config_overrides)
+    cfg = get_config("biggan128_paper", **overrides)
+    mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    state = replicate(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
+    step_fn = jax.jit(make_train_step(cfg), donate_argnums=0)
+    sharding = batch_sharding(mesh, batch_dim=1)
+    rng = np.random.RandomState(0)
+
+    def make_batch():
+        return jax.device_put(
+            {
+                "image": rng.randint(
+                    0, 256,
+                    (cfg.n_critic, cfg.batch_size, cfg.img_size, cfg.img_size, 3),
+                ).astype(np.uint8),
+                "label": rng.randint(
+                    0, cfg.num_classes, (cfg.n_critic, cfg.batch_size)
+                ).astype(np.int32),
+            },
+            sharding,
+        )
+
+    return cfg, state, step_fn, make_batch
+
+
 def classify_windows(windows, floor_s):
     """Pick the headline step time from measured windows.
 
@@ -53,45 +98,15 @@ def run_bench(
 ) -> dict:
     import jax
 
-    from biggan_tpu.configs import get_config
-    from biggan_tpu.parallel.mesh import create_mesh
-    from biggan_tpu.parallel.sharding import batch_sharding, replicate
-    from biggan_tpu.training.train_state import create_train_state
-    from biggan_tpu.training.train_step import make_train_step
-
     overrides = dict(
         img_size=img_size,
         ch=ch,
         batch_size=batch_size,
-        n_critic=1,
-        grad_accum=1,
-        num_classes=1000,
-        compute_dtype="bfloat16",
-        dataset="synthetic",
         attn_impl=attn_impl,
         sn_impl=sn_impl,
     )
     overrides.update(config_overrides)  # caller-specified wins
-    cfg = get_config("biggan128_paper", **overrides)
-    mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)
-    state = replicate(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
-    step_fn = jax.jit(make_train_step(cfg), donate_argnums=0)
-
-    rng = np.random.RandomState(0)
-    sharding = batch_sharding(mesh, batch_dim=1)
-
-    def make_batch():
-        return jax.device_put(
-            {
-                "image": rng.randint(
-                    0, 256, (cfg.n_critic, cfg.batch_size, img_size, img_size, 3)
-                ).astype(np.uint8),
-                "label": rng.randint(
-                    0, cfg.num_classes, (cfg.n_critic, cfg.batch_size)
-                ).astype(np.int32),
-            },
-            sharding,
-        )
+    cfg, state, step_fn, make_batch = build_bench_step(**overrides)
 
     batches = [make_batch() for _ in range(4)]
     # XLA's own cost model: lets readers convert wall-clock → utilization

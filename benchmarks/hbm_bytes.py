@@ -14,9 +14,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
-import numpy as np
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 VARIANTS = {
     # name -> config overrides on top of the bench config
@@ -45,32 +47,12 @@ VARIANTS = {
 def probe(name: str, overrides: dict, timed: bool, iters: int = 10) -> dict:
     import jax
 
-    from biggan_tpu.configs import get_config
-    from biggan_tpu.parallel.mesh import create_mesh
-    from biggan_tpu.parallel.sharding import batch_sharding, replicate
-    from biggan_tpu.training.train_state import create_train_state
-    from biggan_tpu.training.train_step import make_train_step
+    from bench import build_bench_step  # SAME program as the headline bench
 
-    base = dict(
-        img_size=128, ch=96, batch_size=32, n_critic=1, grad_accum=1,
-        num_classes=1000, compute_dtype="bfloat16", dataset="synthetic",
-    )
+    base = dict(batch_size=32)  # fixed-pool effects show best at small batch
     base.update(overrides)
-    cfg = get_config("biggan128_paper", **base)
-    mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)
-    state = replicate(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
-    step_fn = jax.jit(make_train_step(cfg), donate_argnums=0)
-
-    rng = np.random.RandomState(0)
-    batch = jax.device_put(
-        {
-            "image": rng.randint(
-                0, 256, (cfg.n_critic, cfg.batch_size, cfg.img_size, cfg.img_size, 3)
-            ).astype(np.uint8),
-            "label": rng.randint(0, cfg.num_classes, (cfg.n_critic, cfg.batch_size)).astype(np.int32),
-        },
-        batch_sharding(mesh, batch_dim=1),
-    )
+    cfg, state, step_fn, make_batch = build_bench_step(**base)
+    batch = make_batch()
     compiled = step_fn.lower(state, batch).compile()
     ca = compiled.cost_analysis()
     out = {

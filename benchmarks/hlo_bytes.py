@@ -17,10 +17,12 @@ Usage: python benchmarks/hlo_bytes.py [--batch 32] [--top 30]
 from __future__ import annotations
 
 import argparse
+import os
 import re
+import sys
 from collections import defaultdict
 
-import numpy as np
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 _DTYPE_BYTES = {
     "f64": 8, "f32": 4, "bf16": 2, "f16": 2,
@@ -62,11 +64,20 @@ def analyze(hlo_text: str):
         shapes = list(_SHAPE_RE.finditer(line))
         if not shapes:
             continue
-        total = sum(_shape_bytes(m) for m in shapes)
         # op kind: first token after '=' that looks like an opcode
         rhs = line.split("=", 1)[1]
         kind_m = re.search(r"\)?\s*([a-z][a-z0-9-]*)\(", rhs)
         kind = kind_m.group(1) if kind_m else "?"
+        if kind in ("get-tuple-element", "tuple", "parameter", "bitcast", "reshape"):
+            continue  # zero-copy aliases, not HBM traffic
+        if "slice" in name or kind in ("slice", "dynamic-slice"):
+            # slice ops (incl. async VMEM-prefetch slices of weight
+            # kernels) read only the sliced window, not the whole
+            # operand — count output bytes only, or kernel prefetches
+            # get multiply-counted per slice (observed ~4× inflation)
+            total = _shape_bytes(shapes[0])
+        else:
+            total = sum(_shape_bytes(m) for m in shapes)
         # metadata op_name gives the JAX-level source
         meta = re.search(r'op_name="([^"]*)"', line)
         src = meta.group(1) if meta else ""
@@ -80,40 +91,27 @@ def main():
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--dump", type=str, default="",
                     help="also write the full HLO text to this path")
+    ap.add_argument("--file", type=str, default="",
+                    help="analyze a previously dumped HLO text (no chip needed)")
     args = ap.parse_args()
 
-    import jax
+    if args.file:
+        _report(open(args.file).read(), args.top)
+        return
 
-    from biggan_tpu.configs import get_config
-    from biggan_tpu.parallel.mesh import create_mesh
-    from biggan_tpu.parallel.sharding import batch_sharding, replicate
-    from biggan_tpu.training.train_state import create_train_state
-    from biggan_tpu.training.train_step import make_train_step
+    from bench import build_bench_step  # SAME program as the headline bench
 
-    cfg = get_config(
-        "biggan128_paper", img_size=128, ch=96, batch_size=args.batch,
-        n_critic=1, grad_accum=1, num_classes=1000,
-        compute_dtype="bfloat16", dataset="synthetic",
-    )
-    mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)
-    state = replicate(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
-    step_fn = jax.jit(make_train_step(cfg), donate_argnums=0)
-    rng = np.random.RandomState(0)
-    batch = jax.device_put(
-        {
-            "image": rng.randint(
-                0, 256, (1, cfg.batch_size, cfg.img_size, cfg.img_size, 3)
-            ).astype(np.uint8),
-            "label": rng.randint(0, cfg.num_classes, (1, cfg.batch_size)).astype(np.int32),
-        },
-        batch_sharding(mesh, batch_dim=1),
-    )
-    compiled = step_fn.lower(state, batch).compile()
+    cfg, state, step_fn, make_batch = build_bench_step(batch_size=args.batch)
+    compiled = step_fn.lower(state, make_batch()).compile()
     text = compiled.as_text()
     if args.dump:
         with open(args.dump, "w") as f:
             f.write(text)
         print(f"dumped {len(text)} chars to {args.dump}")
+    _report(text, args.top)
+
+
+def _report(text: str, top: int):
     per_op = analyze(text)
     total = sum(t for t, *_ in per_op)
     print(f"total attributed: {total / 2**30:.1f} GiB across {len(per_op)} entry ops")
@@ -125,8 +123,8 @@ def main():
     for kind, t in sorted(by_kind.items(), key=lambda kv: -kv[1])[:15]:
         print(f"{t / 2**30:8.2f} GiB  {kind}")
 
-    print(f"\n== top {args.top} single ops ==")
-    for t, kind, name, src in sorted(per_op, key=lambda x: -x[0])[: args.top]:
+    print(f"\n== top {top} single ops ==")
+    for t, kind, name, src in sorted(per_op, key=lambda x: -x[0])[:top]:
         print(f"{t / 2**30:8.3f} GiB  {kind:12s} {name[:48]:48s} {src[:80]}")
 
 

@@ -81,22 +81,38 @@ class CheckpointManager:
         """
         self._preempt_requested = False
         self._get_state = get_state
+        self._loop_active = False
+
+        def _best_effort_save_and_die():
+            try:
+                state = self._get_state() if self._get_state else None
+                if state is not None:
+                    self.save(state, force=True)
+            except Exception as e:  # donated buffers / mid-step interrupt
+                print(f" [!] preemption save skipped: {e}", flush=True)
+            self.redeliver_sigterm()
 
         def handler(signum, frame):
-            if self._preempt_requested:
-                # second SIGTERM: the loop didn't get there — best effort now
-                try:
-                    state = self._get_state() if self._get_state else None
-                    if state is not None:
-                        self.save(state, force=True)
-                except Exception as e:  # donated buffers / mid-step interrupt
-                    print(f" [!] preemption save skipped: {e}", flush=True)
-                self.redeliver_sigterm()
+            if self._preempt_requested or not self._loop_active:
+                # Second SIGTERM, or no train loop is polling the flag
+                # (eval/test phase, or after train() returned): nothing
+                # will ever consume the request — save best-effort NOW and
+                # terminate, like the pre-deferred design.
+                _best_effort_save_and_die()
+                return
             self._preempt_requested = True
             print(" [!] SIGTERM received — will checkpoint at the next step boundary",
                   flush=True)
 
         signal.signal(signal.SIGTERM, handler)
+
+    def begin_step_polling(self) -> None:
+        """The train loop is live and will poll :attr:`preemption_requested`
+        after every step — SIGTERM defers to the step boundary."""
+        self._loop_active = True
+
+    def end_step_polling(self) -> None:
+        self._loop_active = False
 
     @property
     def preemption_requested(self) -> bool:

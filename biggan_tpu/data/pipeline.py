@@ -60,7 +60,13 @@ class ImageFolderSource:
       epoch (ref ``shuffle_and_repeat``, BigGAN_128.py:~188-194).
       :meth:`seek` restores the epoch/position cursor for resume, the
       counterpart of the reference's filename-counter resume
-      (BigGAN_128.py:~272-278).
+      (BigGAN_128.py:~272-278). Resume exactness: with concurrent loader
+      workers the draw order and the training-consumption order can
+      differ by the in-flight batches (workers + queue + device prefetch),
+      so a resumed traversal is exact to within that bound — the same
+      property as the reference's prefetched tf.data pipeline, where
+      in-flight batches are lost on preemption. ``workers=1`` makes it
+      exact.
     - ``"iid"``: independent draws with replacement (statistically adjacent,
       never an epoch boundary).
     """
@@ -188,16 +194,22 @@ class PrefetchLoader:
 
     def close(self):
         self._stop.set()
-        # drain-then-join: workers blocked on put() wake within their 0.5 s
-        # put timeout, see the stop flag, and exit — joining guarantees no
-        # worker re-fills the queue after close returns.
-        try:
-            while True:
-                self._q.get_nowait()
-        except queue.Empty:
-            pass
+
+        def drain():
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue.Empty:
+                pass
+
+        # drain so workers blocked on put() wake (their put has a 0.5 s
+        # timeout), then join. A worker stuck in a long decode can outlive
+        # the bounded join and enqueue one final batch — drain again after
+        # joining so the queue is empty when close() returns regardless.
+        drain()
         for t in self._threads:
             t.join(timeout=2.0)
+        drain()
 
 
 def device_prefetch(loader, sharding, depth: int = 2):

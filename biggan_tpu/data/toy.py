@@ -77,6 +77,12 @@ def make_toy_dataset(
     for idx, (shape, _) in enumerate(CLASSES):
         d = os.path.join(out_root, f"{idx}_{shape}")
         os.makedirs(d, exist_ok=True)
+        wanted = {f"{i:05d}.png" for i in range(n_per_class)}
+        # prune stale generated files (e.g. a previous larger n_per_class)
+        # so the on-disk dataset always matches the reported count
+        for name in os.listdir(d):
+            if name.endswith(".png") and name not in wanted:
+                os.remove(os.path.join(d, name))
         for i in range(n_per_class):
             p = os.path.join(d, f"{i:05d}.png")
             if not os.path.exists(p):

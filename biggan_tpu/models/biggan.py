@@ -153,6 +153,7 @@ class BigGAN:
         total_steps = cfg.epoch * cfg.iteration
         step = start_step
         preempted = False
+        self.ckpt.begin_step_polling()  # SIGTERM now defers to step boundaries
         # profiler trace window: skip the first (compile) step, then
         # capture cfg.profile_steps steps into logs/<model_dir>/profile
         profile_start = start_step + 2 if cfg.profile_steps > 0 else -1
@@ -191,6 +192,7 @@ class BigGAN:
                 if step % cfg.save_freq == 0:
                     self.save()
         finally:
+            self.ckpt.end_step_polling()  # outside the loop SIGTERM saves immediately
             loader.close()
             logger.close()
         if preempted:
