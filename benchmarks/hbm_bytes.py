@@ -41,6 +41,8 @@ VARIANTS = {
     "no_gradnorms": {"log_grad_norms": False},
     "f32": {"compute_dtype": "float32"},
     "bf16_mu": {"adam_mu_dtype": "bfloat16"},
+    "matw": {"materialize_weights": True},
+    "matw_b256": {"materialize_weights": True, "batch_size": 256},
 }
 
 

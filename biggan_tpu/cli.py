@@ -75,6 +75,9 @@ def parse_args(argv=None) -> GANConfig:
     parser.add_argument("--sn_impl", type=str, default=None,
                         choices=["auto", "xla", "pallas"])
     parser.add_argument("--remat", type=str2bool, default=None)
+    parser.add_argument("--materialize_weights", type=str2bool, default=None,
+                        help="materialize bf16-cast kernels in HBM (halves the "
+                             "per-application f32 weight stream)")
     parser.add_argument("--fused_gd", type=str2bool, default=None,
                         help="share one G forward between D and G updates "
                              "(simultaneous-style update; saves HBM traffic)")

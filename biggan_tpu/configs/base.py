@@ -96,6 +96,10 @@ class GANConfig:
     num_slices: int = 1
     shard_params: bool = False  # shard big kernels over the model axis (TP)
     remat: bool = False  # jax.checkpoint on blocks to trade FLOPs for HBM
+    # Materialize the bf16-cast (spectrally normalized) kernels in HBM so
+    # conv weight streams are half the bytes of streaming the f32 masters
+    # (HLO byte map: f32 kernel prefetch slices dominate the fixed pool).
+    materialize_weights: bool = False
     profile_steps: int = 0  # >0: capture a jax.profiler trace of N steps to logs
     tf_import: str = ""  # path to a reference TF checkpoint to import at startup
     log_sigma: bool = False  # log per-layer σ(W) estimates at print_freq

@@ -55,6 +55,7 @@ class Generator(nn.Module):
     num_classes: int = 0
     embed_dim: int = 128  # shared class-embedding width (paper)
     use_sn: bool = True
+    materialize_weights: bool = False
     up_mode: str = "deconv"  # "deconv" (ref) | "nn_conv" (paper)
     attn_impl: str = "xla"  # "xla" | "pallas"
     remat: bool = False  # jax.checkpoint each block: trade FLOPs for HBM
@@ -84,7 +85,9 @@ class Generator(nn.Module):
 
         s = arch.seed_size
         seed_ch = arch.g_seed_mult * self.ch
-        h = SNDense(s * s * seed_ch, use_sn=self.use_sn, dtype=self.dtype, name="fc_seed")(
+        h = SNDense(s * s * seed_ch, use_sn=self.use_sn,
+                    materialize_weights=self.materialize_weights,
+                    dtype=self.dtype, name="fc_seed")(
             chunks[0].astype(self.dtype), update_sn=train
         )
         h = h.reshape(h.shape[0], s, s, seed_ch)
@@ -101,6 +104,7 @@ class Generator(nn.Module):
             h = BlockUp(
                 mult * self.ch,
                 use_sn=self.use_sn,
+                materialize_weights=self.materialize_weights,
                 up_mode=self.up_mode,
                 dtype=self.dtype,
                 name=f"block_up_{i}",
@@ -108,7 +112,9 @@ class Generator(nn.Module):
             res *= 2
             if arch.attn_res is not None and res == arch.attn_res:
                 h = SelfAttention(
-                    use_sn=self.use_sn, impl=self.attn_impl, dtype=self.dtype, name="attn"
+                    use_sn=self.use_sn,
+                    materialize_weights=self.materialize_weights,
+                    impl=self.attn_impl, dtype=self.dtype, name="attn",
                 )(h, train=train)
 
         h = BatchNorm(dtype=self.dtype, name="bn_out")(
@@ -118,6 +124,7 @@ class Generator(nn.Module):
         # ref G_logit conv: use_bias=False (BigGAN_128.generator, :~105)
         h = SNConv2D(
             self.out_channels, 3, 1, use_sn=self.use_sn, use_bias=False,
+            materialize_weights=self.materialize_weights,
             dtype=self.dtype, name="conv_out",
         )(h, update_sn=train)
         return jnp.tanh(h.astype(jnp.float32))
@@ -130,6 +137,7 @@ class Discriminator(nn.Module):
     ch: int = 96
     num_classes: int = 0
     use_sn: bool = True
+    materialize_weights: bool = False
     use_d_norm: bool = True  # ref keeps BN in D; set False for paper-style SN-only D
     attn_impl: str = "xla"
     remat: bool = False
@@ -153,6 +161,7 @@ class Discriminator(nn.Module):
             h = BlockDown(
                 mult * self.ch,
                 use_sn=self.use_sn,
+                materialize_weights=self.materialize_weights,
                 use_norm=self.use_d_norm,
                 dtype=self.dtype,
                 name=f"block_down_{i}",
@@ -160,19 +169,24 @@ class Discriminator(nn.Module):
             res //= 2
             if arch.attn_res is not None and res == arch.attn_res:
                 h = SelfAttention(
-                    use_sn=self.use_sn, impl=self.attn_impl, dtype=self.dtype, name="attn"
+                    use_sn=self.use_sn,
+                    materialize_weights=self.materialize_weights,
+                    impl=self.attn_impl, dtype=self.dtype, name="attn",
                 )(h, train=train)
 
         h = ResBlock(
             arch.d_ch_mults[-1] * self.ch,
             use_sn=self.use_sn,
+            materialize_weights=self.materialize_weights,
             use_norm=self.use_d_norm,
             dtype=self.dtype,
             name="block_final",
         )(h, train=train, axis_name=axis_name)
         h = nn.relu(h)
         pooled = global_sum_pool(h)  # [B, C] — paper-faithful sum pool
-        logit = SNDense(1, use_sn=self.use_sn, dtype=self.dtype, name="fc_logit")(
+        logit = SNDense(1, use_sn=self.use_sn,
+                        materialize_weights=self.materialize_weights,
+                        dtype=self.dtype, name="fc_logit")(
             pooled, update_sn=train
         ).astype(jnp.float32)
 

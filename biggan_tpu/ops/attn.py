@@ -49,6 +49,7 @@ class SelfAttention(nn.Module):
     # ref ``conv`` defaults use_bias=True and the attention convs don't
     # override it (ops.py:~278-310) — keep biases for import parity.
     use_bias: bool = True
+    materialize_weights: bool = False
     # "auto": Pallas flash kernel on TPU (equal to XLA in clean windows,
     # ~25% faster under per-execute-overhead regimes — BENCH_NOTES.md),
     # XLA elsewhere. Or force "xla" / "pallas".
@@ -59,7 +60,8 @@ class SelfAttention(nn.Module):
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         n_batch, h, w, c = x.shape
         n_tok = h * w
-        kw = dict(use_sn=self.use_sn, use_bias=self.use_bias, dtype=self.dtype)
+        kw = dict(use_sn=self.use_sn, use_bias=self.use_bias,
+                  materialize_weights=self.materialize_weights, dtype=self.dtype)
 
         # floor of 1: c<8 never occurs in a real BigGAN config but a
         # zero-width conv fails with an opaque ZeroDivisionError inside SN.

@@ -47,6 +47,7 @@ class ResBlockUp(nn.Module):
     features: int
     use_sn: bool = True
     use_bias: bool = False
+    materialize_weights: bool = False
     up_mode: str = "deconv"  # "deconv" (ref-faithful) | "nn_conv" (paper)
     dtype: jnp.dtype = jnp.float32
 
@@ -58,7 +59,8 @@ class ResBlockUp(nn.Module):
         train: bool = True,
         axis_name: Optional[str] = None,
     ) -> jax.Array:
-        kw = dict(use_sn=self.use_sn, use_bias=self.use_bias, dtype=self.dtype)
+        kw = dict(use_sn=self.use_sn, use_bias=self.use_bias,
+                  materialize_weights=self.materialize_weights, dtype=self.dtype)
         norm = lambda name: ConditionalBatchNorm(dtype=self.dtype, name=name)  # noqa: E731
 
         def up_conv(name, h):
@@ -86,6 +88,7 @@ class ResBlockDown(nn.Module):
     features: int
     use_sn: bool = True
     use_bias: bool = False
+    materialize_weights: bool = False
     use_norm: bool = True  # ref keeps BN in D (ops.py:~225-247); paper omits it
     down_mode: str = "conv"  # "conv" (ref: strided conv) | "pool" (paper: conv + avgpool)
     dtype: jnp.dtype = jnp.float32
@@ -97,7 +100,8 @@ class ResBlockDown(nn.Module):
         train: bool = True,
         axis_name: Optional[str] = None,
     ) -> jax.Array:
-        kw = dict(use_sn=self.use_sn, use_bias=self.use_bias, dtype=self.dtype)
+        kw = dict(use_sn=self.use_sn, use_bias=self.use_bias,
+                  materialize_weights=self.materialize_weights, dtype=self.dtype)
 
         def maybe_norm(name, h):
             if not self.use_norm:
@@ -130,6 +134,7 @@ class ResBlock(nn.Module):
     features: int
     use_sn: bool = True
     use_bias: bool = False
+    materialize_weights: bool = False
     use_norm: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -140,7 +145,8 @@ class ResBlock(nn.Module):
         train: bool = True,
         axis_name: Optional[str] = None,
     ) -> jax.Array:
-        kw = dict(use_sn=self.use_sn, use_bias=self.use_bias, dtype=self.dtype)
+        kw = dict(use_sn=self.use_sn, use_bias=self.use_bias,
+                  materialize_weights=self.materialize_weights, dtype=self.dtype)
 
         def maybe_norm(name, h):
             if not self.use_norm:

@@ -59,6 +59,18 @@ class _SNMixin:
             u.value = u_next
         return w_sn
 
+    def _compute_weight(self, w: jax.Array) -> jax.Array:
+        """Cast the (possibly normalized) f32 master kernel to the compute
+        dtype — optionally behind an optimization barrier so XLA
+        materializes the bf16 copy in HBM instead of streaming the f32
+        master into VMEM per use (the HLO byte map shows the f32 kernel
+        prefetch slices dominate the step's batch-independent traffic;
+        see NEXT.md / benchmarks/hlo_bytes.py)."""
+        w_c = w.astype(self.dtype)
+        if getattr(self, "materialize_weights", False) and w_c.dtype != w.dtype:
+            w_c = jax.lax.optimization_barrier(w_c)
+        return w_c
+
 
 class SNDense(nn.Module, _SNMixin):
     """Dense layer with optional SN (ref ``fully_connected``, ops.py:~113-135)."""
@@ -66,6 +78,7 @@ class SNDense(nn.Module, _SNMixin):
     features: int
     use_bias: bool = True
     use_sn: bool = False
+    materialize_weights: bool = False
     kernel_init: nn.initializers.Initializer = kernel_init
     bias_init: nn.initializers.Initializer = nn.initializers.zeros
     dtype: jnp.dtype = jnp.float32
@@ -74,7 +87,7 @@ class SNDense(nn.Module, _SNMixin):
     def __call__(self, x: jax.Array, update_sn: bool = False) -> jax.Array:
         w = self.param("kernel", self.kernel_init, (x.shape[-1], self.features), jnp.float32)
         w = self._maybe_sn(w, self.use_sn, update_sn)
-        y = jnp.dot(x.astype(self.dtype), w.astype(self.dtype), preferred_element_type=self.dtype)
+        y = jnp.dot(x.astype(self.dtype), self._compute_weight(w), preferred_element_type=self.dtype)
         if self.use_bias:
             b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
             y = y + b.astype(self.dtype)
@@ -93,6 +106,7 @@ class SNConv2D(nn.Module, _SNMixin):
     strides: Sequence[int] | int = 1
     use_bias: bool = True
     use_sn: bool = False
+    materialize_weights: bool = False
     pad: int | None = None  # default: (k-1)//2 symmetric
     dtype: jnp.dtype = jnp.float32
 
@@ -106,7 +120,7 @@ class SNConv2D(nn.Module, _SNMixin):
         pw = (kw - 1) // 2 if self.pad is None else self.pad
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
-            w.astype(self.dtype),
+            self._compute_weight(w),
             window_strides=(sh, sw),
             padding=((ph, ph), (pw, pw)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -138,6 +152,7 @@ class SNConvTranspose2D(nn.Module, _SNMixin):
     strides: Sequence[int] | int = 2
     use_bias: bool = True
     use_sn: bool = False
+    materialize_weights: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _maybe_sn(self, w: jax.Array, use_sn: bool, update_sn: bool) -> jax.Array:
@@ -167,7 +182,7 @@ class SNConvTranspose2D(nn.Module, _SNMixin):
         # (verified in tests/test_tf_parity.py).
         y = jax.lax.conv_transpose(
             x.astype(self.dtype),
-            w[::-1, ::-1].astype(self.dtype),
+            self._compute_weight(w[::-1, ::-1]),
             strides=(sh, sw),
             padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

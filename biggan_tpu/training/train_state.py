@@ -57,6 +57,7 @@ def build_models(cfg: GANConfig):
         num_classes=cfg.num_classes,
         embed_dim=cfg.embed_dim,
         use_sn=cfg.sn,
+        materialize_weights=cfg.materialize_weights,
         up_mode=cfg.g_up_mode,
         attn_impl=cfg.attn_impl,
         remat=cfg.remat,
@@ -67,6 +68,7 @@ def build_models(cfg: GANConfig):
         ch=cfg.ch,
         num_classes=cfg.num_classes,
         use_sn=cfg.sn,
+        materialize_weights=cfg.materialize_weights,
         use_d_norm=cfg.d_norm,
         attn_impl=cfg.attn_impl,
         remat=cfg.remat,
