@@ -96,9 +96,11 @@ class GANConfig:
     num_slices: int = 1
     shard_params: bool = False  # shard big kernels over the model axis (TP)
     remat: bool = False  # jax.checkpoint on blocks to trade FLOPs for HBM
-    # Materialize the bf16-cast (spectrally normalized) kernels in HBM so
-    # conv weight streams are half the bytes of streaming the f32 masters
-    # (HLO byte map: f32 kernel prefetch slices dominate the fixed pool).
+    # Materialize the bf16-cast (spectrally normalized) kernels behind an
+    # optimization barrier. Measured NEGATIVE at 128px (58.1→59.25 GB/step
+    # b32 — the barrier adds a copy without replacing the f32 master
+    # stream; NEXT.md item 2). Kept as an experimental knob; the winning
+    # shape of this idea is the per-step normalized-weight-tree hoist.
     materialize_weights: bool = False
     profile_steps: int = 0  # >0: capture a jax.profiler trace of N steps to logs
     tf_import: str = ""  # path to a reference TF checkpoint to import at startup
