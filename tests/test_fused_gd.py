@@ -116,3 +116,18 @@ def test_fused_gradients_split_exactly(monkeypatch):
     for got, want in ((new_state.d_params, expect_d), (new_state.g_params, expect_g)):
         for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_fused_gd_gradient_penalty_path():
+    """fused_gd with a GP gan_type: the penalty's extra D application
+    composes with the shared-forward joint loss."""
+    cfg = _cfg(gan_type="wgan-gp")
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg))
+    batch = {
+        "image": np.random.RandomState(0).rand(1, cfg.batch_size, 32, 32, 3).astype(np.float32) * 2 - 1
+    }
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert np.isfinite(float(metrics["g_loss"]))
