@@ -28,6 +28,9 @@ def main() -> int:
     ap.add_argument("--eval-num", type=int, default=2048)
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--ch", type=int, default=64)
+    ap.add_argument("--img-size", type=int, default=32)
+    ap.add_argument("--compute-dtype", type=str, default=None,
+                    help="override preset dtype (e.g. bfloat16 at 128px)")
     ap.add_argument("--root", type=str, default="runs/learning_demo")
     ap.add_argument("--dataset-root", type=str, default="dataset")
     ap.add_argument("--n-per-class", type=int, default=500)
@@ -47,8 +50,10 @@ def main() -> int:
     from biggan_tpu.data.toy import make_toy_dataset
     from biggan_tpu.models.biggan import BigGAN
 
+    ds_name = "toyshapes" if args.img_size == 32 else f"toyshapes{args.img_size}"
     n = make_toy_dataset(
-        os.path.join(args.dataset_root, "toyshapes"), n_per_class=args.n_per_class
+        os.path.join(args.dataset_root, ds_name),
+        n_per_class=args.n_per_class, img_size=args.img_size,
     )
     print(f"[demo] dataset ready: {n} images", flush=True)
 
@@ -57,12 +62,17 @@ def main() -> int:
     history = []
 
     for r in range(1, args.rounds + 1):
+        overrides = {}
+        if args.compute_dtype:
+            overrides["compute_dtype"] = args.compute_dtype
         cfg = get_config(
             "biggan32_cifar10",
-            dataset="toyshapes",
+            dataset=ds_name,
+            img_size=args.img_size,
             data_root=args.dataset_root,
             moving_decay=args.moving_decay,
             ch=args.ch,
+            **overrides,
             batch_size=args.batch_size,
             num_classes=10,
             epoch=1,
