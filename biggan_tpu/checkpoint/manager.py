@@ -43,10 +43,16 @@ class CheckpointManager:
 
     def save(self, state: "GANTrainState", step: Optional[int] = None, force: bool = False) -> bool:
         step = int(state.step) if step is None else step
-        saved = self._mgr.save(
-            step, args=ocp.args.StandardSave(jax.tree.map(lambda x: x, state)), force=force
-        )
-        self._mgr.wait_until_finished()
+        # _saving guards the SIGTERM fallback: orbax save is not reentrant,
+        # so a signal landing mid-save must not start a second save.
+        self._saving = True
+        try:
+            saved = self._mgr.save(
+                step, args=ocp.args.StandardSave(jax.tree.map(lambda x: x, state)), force=force
+            )
+            self._mgr.wait_until_finished()
+        finally:
+            self._saving = False
         return bool(saved)
 
     def latest_step(self) -> Optional[int]:
@@ -84,6 +90,12 @@ class CheckpointManager:
         self._loop_active = False
 
         def _best_effort_save_and_die():
+            if getattr(self, "_saving", False):
+                # The main thread is mid-save (orbax is not reentrant):
+                # don't start a second save from the handler — terminate
+                # and let the in-flight atomic save finish or be discarded.
+                self.redeliver_sigterm()
+                return
             try:
                 state = self._get_state() if self._get_state else None
                 if state is not None:

@@ -31,9 +31,12 @@ Matching is two-stage:
 2. **Shape-based assignment** fallback for fork-delta scopes: remaining
    TF variables are bucketed with remaining pytree leaves by (top scope,
    shape). A bucket is assigned only when the two sides pair 1:1 in
-   sorted-name order (equal counts); an ambiguous bucket (unequal counts)
-   is a hard error under ``strict`` — never a silent skew — and is
-   reported as unmatched otherwise.
+   *natural* name order (digit runs compared numerically, so TF's
+   auto-uniquify 'x_2' sorts before 'x_10'); unequal counts are a hard
+   error under ``strict``, and multi-element zips — whose correspondence
+   is ordering-based, not structural — are strict errors too (reported as
+   ``warnings`` in permissive mode). Strict imports must match entirely
+   through stage-1 name rules.
 
 Every decision is returned in an :class:`ImportReport` (stage-2
 assignments separately in ``shape_matched``); ``strict=True`` raises if
@@ -134,6 +137,12 @@ def reference_name_rules(img_size: int) -> List[Tuple[str, str]]:
 NAME_RULES = GENERIC_RULES
 
 
+def _natural_key(name: str):
+    """Sort key treating digit runs numerically, so TF auto-uniquify
+    suffixes order by layer ('x_2' < 'x_10', unlike lexicographic)."""
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", name)]
+
+
 @dataclasses.dataclass
 class ImportReport:
     matched: Dict[str, str] = dataclasses.field(default_factory=dict)  # tf name → pytree path
@@ -141,6 +150,7 @@ class ImportReport:
     unmatched_tf: List[str] = dataclasses.field(default_factory=list)
     unmatched_tree: List[str] = dataclasses.field(default_factory=list)
     ambiguous: List[str] = dataclasses.field(default_factory=list)  # human-readable bucket notes
+    warnings: List[str] = dataclasses.field(default_factory=list)  # multi-element bucket zips
 
     def summary(self) -> str:
         return (
@@ -256,11 +266,22 @@ def import_tf_checkpoint(
         buckets.setdefault((scope, shape), []).append(tf_name)
     for (scope, shape), tf_names in sorted(buckets.items(), key=str):
         candidates = sorted(
-            k for k, v in open_targets.items()
-            if k.startswith(scope) and tuple(v.shape) == shape
+            (k for k, v in open_targets.items()
+             if k.startswith(scope) and tuple(v.shape) == shape),
+            key=_natural_key,
         )
         if len(candidates) == len(tf_names):
-            for tf_name, key in zip(sorted(tf_names), candidates):
+            if len(tf_names) > 1:
+                # A multi-element zip assumes name order == layer order on
+                # both sides — natural-sorted, but structurally unverified.
+                # Surface it: a warning when permissive, and part of the
+                # strict error below (strict demands stage-1 name coverage).
+                report.warnings.append(
+                    f"shape bucket {scope}{shape}: zipped {len(tf_names)} "
+                    f"vars by natural name order "
+                    f"({sorted(tf_names, key=_natural_key)[:4]} → {candidates[:4]})"
+                )
+            for tf_name, key in zip(sorted(tf_names, key=_natural_key), candidates):
                 new_values[key] = _canonical_value(tf_name, remaining_tf[tf_name])
                 report.matched[tf_name] = key
                 report.shape_matched[tf_name] = key
@@ -275,11 +296,14 @@ def import_tf_checkpoint(
             report.unmatched_tf.extend(sorted(tf_names))
     report.unmatched_tree = sorted(k for k in targets if k not in new_values)
 
-    if strict and (report.unmatched_tree or report.ambiguous):
+    if strict and (report.unmatched_tree or report.ambiguous or report.warnings):
         raise ValueError(
             "strict import failed: "
             + (f"ambiguous shape buckets:\n  " + "\n  ".join(report.ambiguous) + "\n"
                if report.ambiguous else "")
+            + ("multi-element shape-zip (order unverified — extend the name "
+               "rules instead):\n  " + "\n  ".join(report.warnings) + "\n"
+               if report.warnings else "")
             + f"unmatched pytree leaves {report.unmatched_tree[:10]} "
             f"({report.summary()})"
         )

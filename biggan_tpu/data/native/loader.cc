@@ -219,11 +219,26 @@ struct Loader {
   size_t pos = 0;
   uint64_t epoch = 0;
 
+  // Fisher–Yates driven by splitmix64 — bit-identical to the Python
+  // fallback's shared_epoch_perm (data/pipeline.py), so a resume at the
+  // same (seed, start_count) continues the exact same traversal whether
+  // this .so loads on the resuming host or not.
+  static uint64_t splitmix64(uint64_t& s) {
+    uint64_t z = (s += 0x9E3779B97F4A7C15ULL);
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+    return z ^ (z >> 31);
+  }
+
   void reshuffle_locked() {
     perm.resize(files.size());
     for (size_t i = 0; i < perm.size(); ++i) perm[i] = uint32_t(i);
-    std::mt19937_64 rng(base_seed ^ (epoch * 0x9E3779B97F4A7C15ULL + 1));
-    std::shuffle(perm.begin(), perm.end(), rng);
+    if (perm.size() < 2) return;
+    uint64_t s = base_seed ^ (epoch * 0x9E3779B97F4A7C15ULL + 1);
+    for (size_t i = perm.size() - 1; i >= 1; --i) {
+      size_t j = size_t(splitmix64(s) % uint64_t(i + 1));
+      std::swap(perm[i], perm[j]);
+    }
   }
 
   void seek(uint64_t n_images) {

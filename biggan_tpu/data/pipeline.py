@@ -36,6 +36,34 @@ from biggan_tpu.data.synthetic import SyntheticSource
 
 _IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
+_GOLDEN = 0x9E3779B97F4A7C15  # splitmix64 increment
+
+
+def shared_epoch_perm(seed: int, epoch: int, n: int) -> np.ndarray:
+    """Per-epoch file permutation, shared across loader backends.
+
+    Fisher–Yates driven by splitmix64 keyed on ``seed ^ (epoch·φ64 + 1)``,
+    bit-identical to the native C++ loader's ``reshuffle_locked``
+    (``data/native/loader.cc``) — a resume at the same ``(seed,
+    start_count)`` continues the exact same traversal whether or not the
+    ``.so`` loads on the resuming host.
+    """
+    if n < 2:
+        return np.arange(n, dtype=np.int64)
+    mask = (1 << 64) - 1
+    s0 = (seed ^ ((epoch * _GOLDEN + 1) & mask)) & mask
+    # splitmix64 draw t mixes state s0 + t·φ64; vectorize draws 1..n-1
+    k = np.arange(1, n, dtype=np.uint64)
+    z = np.uint64(s0) + k * np.uint64(_GOLDEN)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    perm = np.arange(n, dtype=np.int64)
+    for t, i in enumerate(range(n - 1, 0, -1)):
+        j = int(z[t] % np.uint64(i + 1))
+        perm[i], perm[j] = perm[j], perm[i]
+    return perm
+
 
 def device_preprocess(images_u8: jax.Array, rng: jax.Array, flip: bool = True) -> jax.Array:
     """uint8 [N,H,W,C] → float32 [-1,1], with per-image random horizontal flip.
@@ -113,8 +141,9 @@ class ImageFolderSource:
             return np.asarray(im, np.uint8)
 
     def _epoch_perm(self, epoch: int) -> np.ndarray:
-        # deterministic per-(seed, epoch) so resume reproduces the traversal
-        return np.random.default_rng((self.seed, epoch)).permutation(len(self.files))
+        # deterministic per-(seed, epoch) so resume reproduces the traversal;
+        # shared algorithm with the native loader (see shared_epoch_perm)
+        return shared_epoch_perm(self.seed, epoch, len(self.files))
 
     def seek(self, n_images: int) -> None:
         """Position the shuffle cursor as if ``n_images`` were already

@@ -133,3 +133,45 @@ def test_native_loader_start_count_resume(tmp_path):
     full = run(0, 4)
     resumed = run(8, 2)
     np.testing.assert_array_equal(resumed, full[8:])
+
+
+def test_python_and_native_share_the_same_traversal(tmp_path):
+    """Resume exactness is backend-independent: the Python fallback and the
+    C++ loader derive epoch permutations from the same splitmix64
+    Fisher–Yates, so the same (seed, start_count) continues the same
+    traversal whichever backend loads on the resuming host."""
+    from biggan_tpu.data import native_loader
+    from biggan_tpu.data.pipeline import shared_epoch_perm
+
+    if not native_loader.available():
+        pytest.skip("native loader toolchain unavailable")
+
+    rng = np.random.RandomState(4)
+    files = []
+    for i in range(9):
+        arr = rng.randint(0, 256, (8, 8, 3), np.uint8)
+        p = tmp_path / f"img_{i}.png"
+        Image.fromarray(arr).save(p)
+        files.append(str(p))
+    labels = np.arange(len(files), dtype=np.int32)
+
+    nsrc = native_loader.NativeImageFolderSource(
+        files, labels, img_size=4, batch=3, seed=11,
+        sampling="shuffle", n_threads=1,
+    )
+    try:
+        native_order = np.concatenate(
+            [nsrc.batch(3)["label"] for _ in range(6)]  # two epochs
+        )
+    finally:
+        nsrc.close()
+
+    expected = np.concatenate(
+        [shared_epoch_perm(11, epoch, len(files)) for epoch in range(2)]
+    )
+    np.testing.assert_array_equal(native_order, expected)
+
+    # and the Python source follows the identical order
+    src = _index_source(tmp_path, sampling="shuffle", seed=11)
+    py_order = np.concatenate([src.batch(3)["image"][:, 0, 0, 0] for _ in range(6)])
+    np.testing.assert_array_equal(py_order, expected)

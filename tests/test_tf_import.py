@@ -177,10 +177,29 @@ def test_stage2_duplicated_shapes_assign_in_order(tmp_path):
     ckpt = _save_tf_vars(tmp_path, named)
     new_state, report = import_tf_checkpoint(ckpt, state)
     assert len(report.shape_matched) == len(keys)
-    # sorted TF names zip onto sorted target names
+    # multi-element zips are surfaced (order-based, not structural)
+    assert report.warnings
+    # natural-sorted TF names zip onto natural-sorted target names
+    from biggan_tpu.checkpoint.tf_import import _natural_key
+
     new_flat = _g_targets(new_state)
-    for tf_name, key in zip(sorted(named), sorted(keys)):
+    for tf_name, key in zip(sorted(named, key=_natural_key), sorted(keys, key=_natural_key)):
         np.testing.assert_allclose(new_flat[key], named[tf_name], atol=1e-6)
+    # and a multi-element zip is a strict error: strict demands stage-1
+    # name coverage, never ordering-based correspondence
+    with pytest.raises(ValueError, match="multi-element"):
+        import_tf_checkpoint(ckpt, state, strict=True)
+
+
+def test_stage2_natural_order_beats_lexicographic():
+    """TF auto-uniquify suffixes must order numerically: 'x_2' before
+    'x_10' (lexicographic zipping would cross-assign layers)."""
+    from biggan_tpu.checkpoint.tf_import import _natural_key
+
+    names = [f"generator/block_up_{i}/kernel" for i in range(12)]
+    shuffled = sorted(names)  # lexicographic: block_up_10 < block_up_2
+    assert shuffled != names
+    assert sorted(shuffled, key=_natural_key) == names
 
 
 def test_stage2_ambiguous_bucket_fails_loudly(tmp_path):
