@@ -182,7 +182,14 @@ class BigGAN:
                 if step % cfg.print_freq == 0 or step == start_step + 1:
                     metrics = jax.device_get(metrics)
                     if cfg.log_sigma:
-                        metrics.update(jax.device_get(self._sigma_metrics()))
+                        sig = jax.device_get(self._sigma_metrics())
+                        metrics.update(sig)
+                        # σ(W) distribution per net (SURVEY §5 histograms)
+                        for net in ("g", "d"):
+                            logger.log_histogram(
+                                step, f"{net}_sigma",
+                                [v for k, v in sig.items() if k.startswith(f"{net}_sigma/")],
+                            )
                     dt = time.time() - t0
                     imgs_per_sec = cfg.batch_size * cfg.n_critic / dt
                     epoch, idx = divmod(step - 1, cfg.iteration)

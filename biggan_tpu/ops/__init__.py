@@ -9,6 +9,7 @@ stats) lives in explicit Flax variable collections:
 - ``sn_u``        — spectral-norm power-iteration vectors (ref ``ops.py:~403-430``)
 """
 
+from biggan_tpu.ops.activations import lrelu, relu, tanh  # noqa: F401
 from biggan_tpu.ops.sn import spectral_normalize  # noqa: F401
 from biggan_tpu.ops.layers import SNConv2D, SNConvTranspose2D, SNDense  # noqa: F401
 from biggan_tpu.ops.norm import BatchNorm, ConditionalBatchNorm  # noqa: F401

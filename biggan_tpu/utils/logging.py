@@ -74,6 +74,26 @@ class MetricsLogger:
                 for k, v in scalars.items():
                     tf.summary.scalar(prefix + k, v, step=step)
 
+    def log_histogram(self, step: int, name: str, values) -> None:
+        """TensorBoard histogram (SURVEY §5: σ(W) histograms). The JSONL
+        stream gets summary stats so the data survives without TB."""
+        values = np.asarray(values, np.float32).ravel()
+        if values.size == 0:
+            return
+        record = {
+            "step": int(step),
+            "time": time.time() - self._t0,
+            f"{name}/min": float(values.min()),
+            f"{name}/max": float(values.max()),
+            f"{name}/mean": float(values.mean()),
+        }
+        self._jsonl.write(json.dumps(record) + "\n")
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                tf.summary.histogram(name, values, step=step)
+
     def print_iter(
         self,
         epoch: int,

@@ -174,3 +174,14 @@ def test_orthogonal_reg_small_gram_identity():
             np.asarray(g1["m"]["kernel"]), np.asarray(g2["m"]["kernel"]),
             atol=1e-6, rtol=1e-4,
         )
+
+
+def test_activations_contract():
+    """relu/lrelu/tanh — the reference ops vocabulary (ref ops.py:~345-355)."""
+    from biggan_tpu.ops import lrelu, relu, tanh
+
+    x = jnp.array([-2.0, -0.5, 0.0, 1.5])
+    np.testing.assert_allclose(relu(x), [0.0, 0.0, 0.0, 1.5])
+    np.testing.assert_allclose(lrelu(x), [-0.4, -0.1, 0.0, 1.5], atol=1e-7)
+    np.testing.assert_allclose(lrelu(x, alpha=0.1), [-0.2, -0.05, 0.0, 1.5], atol=1e-7)
+    np.testing.assert_allclose(tanh(x), np.tanh(x), atol=1e-6)
