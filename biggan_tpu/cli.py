@@ -90,6 +90,10 @@ def parse_args(argv=None) -> GANConfig:
     parser.add_argument("--num_slices", type=int, default=None,
                         help=">1: hybrid DCN x ICI mesh; leading data dim "
                              "spans pod slices over DCN (BASELINE config 5)")
+    parser.add_argument("--norm_bwd", type=str, default=None,
+                        choices=["ref", "pinned"],
+                        help="train-mode BN backward: plain autodiff (ref, "
+                             "default) or pinned-residual custom VJP")
     parser.add_argument("--log_sigma", type=str2bool, default=None,
                         help="log per-layer spectral-norm sigma at print_freq")
     parser.add_argument("--debug_nans", type=str2bool, default=None,

@@ -102,6 +102,16 @@ class GANConfig:
     # stream; NEXT.md item 2). Kept as an experimental knob; the winning
     # shape of this idea is the per-step normalized-weight-tree hoist.
     materialize_weights: bool = False
+    # Train-mode BN/cBN backward: "ref" = plain autodiff (default);
+    # "pinned" = pinned-residual custom VJP (ops/norm.py — recomputes the
+    # f32 normalized tensor in backward instead of storing it; gated off
+    # on D for double-differentiating gradient-penalty gan types).
+    # Measured on-chip (XLA cost analysis, 128px bf16): byte-NEUTRAL at
+    # b32 (58.04 vs 58.10 GB/step) and +1.5 GB at b256 — XLA already
+    # rematerializes the normalize into the backward fusions, so the
+    # custom VJP buys nothing here; kept as a tested option for shapes
+    # where XLA's remat heuristics differ.
+    norm_bwd: str = "ref"
     profile_steps: int = 0  # >0: capture a jax.profiler trace of N steps to logs
     tf_import: str = ""  # path to a reference TF checkpoint to import at startup
     log_sigma: bool = False  # log per-layer σ(W) estimates at print_freq

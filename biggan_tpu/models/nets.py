@@ -59,6 +59,7 @@ class Generator(nn.Module):
     up_mode: str = "deconv"  # "deconv" (ref) | "nn_conv" (paper)
     attn_impl: str = "xla"  # "xla" | "pallas"
     remat: bool = False  # jax.checkpoint each block: trade FLOPs for HBM
+    norm_opt_bwd: bool = False  # pinned-residual BN backward (ops/norm.py)
     out_channels: int = 3
     dtype: jnp.dtype = jnp.float32
 
@@ -106,6 +107,7 @@ class Generator(nn.Module):
                 use_sn=self.use_sn,
                 materialize_weights=self.materialize_weights,
                 up_mode=self.up_mode,
+                norm_opt_bwd=self.norm_opt_bwd,
                 dtype=self.dtype,
                 name=f"block_up_{i}",
             )(h, conds[i], train, axis_name)
@@ -117,7 +119,7 @@ class Generator(nn.Module):
                     impl=self.attn_impl, dtype=self.dtype, name="attn",
                 )(h, train=train)
 
-        h = BatchNorm(dtype=self.dtype, name="bn_out")(
+        h = BatchNorm(dtype=self.dtype, opt_bwd=self.norm_opt_bwd, name="bn_out")(
             h, use_running_average=not train, axis_name=axis_name
         )
         h = nn.relu(h)
@@ -141,6 +143,7 @@ class Discriminator(nn.Module):
     use_d_norm: bool = True  # ref keeps BN in D; set False for paper-style SN-only D
     attn_impl: str = "xla"
     remat: bool = False
+    norm_opt_bwd: bool = False  # True only via norm_bwd='pinned' (no GP double-diff)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -163,6 +166,7 @@ class Discriminator(nn.Module):
                 use_sn=self.use_sn,
                 materialize_weights=self.materialize_weights,
                 use_norm=self.use_d_norm,
+                norm_opt_bwd=self.norm_opt_bwd,
                 dtype=self.dtype,
                 name=f"block_down_{i}",
             )(h, train, axis_name)
@@ -179,6 +183,7 @@ class Discriminator(nn.Module):
             use_sn=self.use_sn,
             materialize_weights=self.materialize_weights,
             use_norm=self.use_d_norm,
+            norm_opt_bwd=self.norm_opt_bwd,
             dtype=self.dtype,
             name="block_final",
         )(h, train=train, axis_name=axis_name)

@@ -49,6 +49,7 @@ class ResBlockUp(nn.Module):
     use_bias: bool = False
     materialize_weights: bool = False
     up_mode: str = "deconv"  # "deconv" (ref-faithful) | "nn_conv" (paper)
+    norm_opt_bwd: bool = False  # pinned-residual BN backward (ops/norm.py)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -61,7 +62,9 @@ class ResBlockUp(nn.Module):
     ) -> jax.Array:
         kw = dict(use_sn=self.use_sn, use_bias=self.use_bias,
                   materialize_weights=self.materialize_weights, dtype=self.dtype)
-        norm = lambda name: ConditionalBatchNorm(dtype=self.dtype, name=name)  # noqa: E731
+        norm = lambda name: ConditionalBatchNorm(  # noqa: E731
+            dtype=self.dtype, opt_bwd=self.norm_opt_bwd, name=name
+        )
 
         def up_conv(name, h):
             if self.up_mode == "deconv":
@@ -91,6 +94,7 @@ class ResBlockDown(nn.Module):
     materialize_weights: bool = False
     use_norm: bool = True  # ref keeps BN in D (ops.py:~225-247); paper omits it
     down_mode: str = "conv"  # "conv" (ref: strided conv) | "pool" (paper: conv + avgpool)
+    norm_opt_bwd: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -106,7 +110,7 @@ class ResBlockDown(nn.Module):
         def maybe_norm(name, h):
             if not self.use_norm:
                 return h
-            return BatchNorm(dtype=self.dtype, name=name)(
+            return BatchNorm(dtype=self.dtype, opt_bwd=self.norm_opt_bwd, name=name)(
                 h, use_running_average=not train, axis_name=axis_name
             )
 
@@ -136,6 +140,7 @@ class ResBlock(nn.Module):
     use_bias: bool = False
     materialize_weights: bool = False
     use_norm: bool = True
+    norm_opt_bwd: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -151,7 +156,7 @@ class ResBlock(nn.Module):
         def maybe_norm(name, h):
             if not self.use_norm:
                 return h
-            return BatchNorm(dtype=self.dtype, name=name)(
+            return BatchNorm(dtype=self.dtype, opt_bwd=self.norm_opt_bwd, name=name)(
                 h, use_running_average=not train, axis_name=axis_name
             )
 

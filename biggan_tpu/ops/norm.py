@@ -28,6 +28,7 @@ TPU-native deltas:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import flax.linen as nn
@@ -53,6 +54,104 @@ def _batch_moments(x: jax.Array, axis_name: Optional[str]):
     return mean, var
 
 
+# --------------------------------------------------------------------------
+# Pinned-residual train-mode BN core (the per-image HBM-byte lever).
+#
+# Autodiff of the naive normalize saves the f32 normalized tensor
+# x̂ = (x−μ)·inv (and f32 upcasts of x) as backward residuals — at 128 px
+# these are the largest tensors in the whole step, stored at 4 B/elem.
+# This custom VJP pins the residual set to (x [compute dtype], γ, μ, inv):
+# x̂ is recomputed inside the backward fusion from the bf16 activation, so
+# no f32 activation-sized buffer ever round-trips HBM. The gradient is the
+# standard exact batch-norm backward (including the μ/σ² moment paths):
+#
+#   dx̂ = dy·γ;   dx = inv·(dx̂ − E_S[dx̂] − x̂·E_S[dx̂·x̂])
+#
+# with E_S over the moment axes (N,H,W), cross-replica (pmean) when
+# ``axis_name`` is given — matching the pmean'd forward moments. γ/β enter
+# pre-broadcast to x's rank ([1,1,1,C] for BN, [N,1,1,C] for cBN) so one
+# core serves both; their cotangents are reduced back to that shape
+# (per-device partials, like autodiff — callers psum replicated params).
+#
+# Not used when the step differentiates through the backward itself
+# (gradient-penalty gan types double-differentiate D): custom_vjp rules
+# are first-order only, so build_models keeps D on the naive path there.
+# The clamp ∂max(σ²,0) is ignored (active only for degenerate inputs).
+#
+# MEASURED OUTCOME (r3, XLA cost analysis of the 128px bf16 train step):
+# byte-NEUTRAL at batch 32 (58.04 vs 58.10 GB/step) and +1.5 GB at batch
+# 256 — XLA's fusion pass already rematerializes the normalize into the
+# backward, so the premise (stored f32 x̂ residuals) does not hold on this
+# compiler. Default is therefore ``norm_bwd="ref"`` (plain autodiff);
+# the core stays available and parity-tested (tests/test_norm.py) for
+# shapes/compilers where the heuristics differ.
+# --------------------------------------------------------------------------
+
+
+def _bn_train_math(x, gamma_b, beta_b, eps, axis_name):
+    x32 = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(x32, axis=axes)
+    mean_sq = jnp.mean(jnp.square(x32), axis=axes)
+    if axis_name is not None:
+        mean = jax.lax.pmean(mean, axis_name)
+        mean_sq = jax.lax.pmean(mean_sq, axis_name)
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    y = (((x32 - mean) * inv) * gamma_b + beta_b).astype(x.dtype)
+    return y, mean, var, inv
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _bn_train_core(x, gamma_b, beta_b, eps, axis_name):
+    """``(x, γ, β) → (y, batch_mean, batch_var)`` with batch moments.
+
+    γ/β must be float32 and broadcast to ``x``'s rank. The moment outputs
+    feed the (non-differentiated) population-stat EMA.
+    """
+    y, mean, var, _ = _bn_train_math(x, gamma_b, beta_b, eps, axis_name)
+    return y, mean, var
+
+
+def _bn_core_fwd(x, gamma_b, beta_b, eps, axis_name):
+    y, mean, var, inv = _bn_train_math(x, gamma_b, beta_b, eps, axis_name)
+    return (y, mean, var), (x, gamma_b, mean, inv)
+
+
+def _reduce_to_shape(arr, shape):
+    axes = tuple(i for i, (s, a) in enumerate(zip(shape, arr.shape)) if s == 1 and a != 1)
+    return jnp.sum(arr, axis=axes, keepdims=True) if axes else arr
+
+
+def _bn_core_bwd(eps, axis_name, res, cts):
+    x, gamma_b, mean, inv = res
+    dy, dmean_ct, dvar_ct = cts  # moment cotangents are zeros (EMA is state)
+    x32 = x.astype(jnp.float32)
+    dy32 = dy.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    count = 1
+    for a in axes:
+        count *= x.shape[a]
+
+    xhat = (x32 - mean) * inv  # recomputed, never stored
+    dxhat = dy32 * gamma_b
+    m1 = jnp.mean(dxhat, axis=axes)
+    m2 = jnp.mean(dxhat * xhat, axis=axes)
+    if axis_name is not None:
+        m1 = jax.lax.pmean(m1, axis_name)
+        m2 = jax.lax.pmean(m2, axis_name)
+        count = count * jax.lax.psum(1, axis_name)
+    dx32 = inv * (dxhat - m1 - xhat * m2)
+    # moment-output cotangents (zero in training use; kept for correctness)
+    dx32 = dx32 + dmean_ct / count + dvar_ct * 2.0 * (x32 - mean) / count
+    dgamma = _reduce_to_shape(dy32 * xhat, gamma_b.shape)
+    dbeta = _reduce_to_shape(dy32, gamma_b.shape)
+    return dx32.astype(x.dtype), dgamma, dbeta
+
+
+_bn_train_core.defvjp(_bn_core_fwd, _bn_core_bwd)
+
+
 class _RunningStats(nn.Module):
     """Owner of the pop_mean/pop_var EMA state shared by BN and cBN."""
 
@@ -69,11 +168,17 @@ class _RunningStats(nn.Module):
 
 
 class BatchNorm(_RunningStats):
-    """Plain BN with learned scalar-per-channel γ/β (ref ``batch_norm``)."""
+    """Plain BN with learned scalar-per-channel γ/β (ref ``batch_norm``).
+
+    ``opt_bwd``: route train-mode normalize through the pinned-residual
+    custom VJP (no f32 activation-sized backward residuals). Set False
+    when the caller double-differentiates (gradient-penalty D).
+    """
 
     decay: float = _BN_DECAY
     eps: float = _BN_EPS
     dtype: jnp.dtype = jnp.float32
+    opt_bwd: bool = False
 
     @nn.compact
     def __call__(
@@ -86,6 +191,14 @@ class BatchNorm(_RunningStats):
         gamma = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
         beta = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
         mean_v, var_v = self.stats(features)
+        if not use_running_average and self.opt_bwd:
+            x = x.astype(self.dtype)
+            y, mean, var = _bn_train_core(
+                x, gamma[None, None, None, :], beta[None, None, None, :],
+                self.eps, axis_name,
+            )
+            self.update(mean_v, var_v, mean, var, self.decay)
+            return y
         if use_running_average:
             mean, var = mean_v.value, var_v.value
         else:
@@ -115,6 +228,7 @@ class ConditionalBatchNorm(_RunningStats):
     decay: float = _BN_DECAY
     eps: float = _BN_EPS
     dtype: jnp.dtype = jnp.float32
+    opt_bwd: bool = False
 
     @nn.compact
     def __call__(
@@ -142,6 +256,14 @@ class ConditionalBatchNorm(_RunningStats):
             name="beta",
         )(cond32)
         mean_v, var_v = self.stats(features)
+        if not use_running_average and self.opt_bwd:
+            x = x.astype(self.dtype)
+            y, mean, var = _bn_train_core(
+                x, gamma[:, None, None, :], beta[:, None, None, :],
+                self.eps, axis_name,
+            )
+            self.update(mean_v, var_v, mean, var, self.decay)
+            return y
         if use_running_average:
             mean, var = mean_v.value, var_v.value
         else:

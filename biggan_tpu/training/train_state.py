@@ -51,6 +51,12 @@ def build_models(cfg: GANConfig):
     enable_compilation_cache()
     set_sn_impl(cfg.sn_impl)
     dtype = jnp.dtype(cfg.compute_dtype)
+    if cfg.norm_bwd not in ("pinned", "ref"):
+        raise ValueError(f"norm_bwd must be 'pinned' or 'ref', got {cfg.norm_bwd!r}")
+    opt_bwd = cfg.norm_bwd == "pinned"
+    # Gradient-penalty losses differentiate through D's backward pass;
+    # custom_vjp rules are first-order only, so D keeps naive-autodiff BN.
+    d_opt_bwd = opt_bwd and cfg.gan_type not in ("wgan-gp", "wgan-lp", "dragan")
     generator = Generator(
         img_size=cfg.img_size,
         ch=cfg.ch,
@@ -61,6 +67,7 @@ def build_models(cfg: GANConfig):
         up_mode=cfg.g_up_mode,
         attn_impl=cfg.attn_impl,
         remat=cfg.remat,
+        norm_opt_bwd=opt_bwd,
         dtype=dtype,
     )
     discriminator = Discriminator(
@@ -72,6 +79,7 @@ def build_models(cfg: GANConfig):
         use_d_norm=cfg.d_norm,
         attn_impl=cfg.attn_impl,
         remat=cfg.remat,
+        norm_opt_bwd=d_opt_bwd,
         dtype=dtype,
     )
     return generator, discriminator
