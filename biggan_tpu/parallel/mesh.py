@@ -33,10 +33,20 @@ def maybe_init_distributed() -> None:
     (``jax.process_count()`` would initialize it and make ``initialize``
     raise) — so the guard is env-var + idempotency only.
     """
-    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
         return
+    kwargs = {}
+    # Manual clusters (no SLURM/GKE autodetect): pass the coordinates
+    # explicitly from the env — the multi-process CPU e2e test drives this.
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs = dict(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
         if "already" not in str(e).lower():
             raise
