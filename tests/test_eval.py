@@ -346,3 +346,24 @@ def test_load_params_rejects_mismatched_weights(tmp_path):
     np.savez(bad, **{"params/Conv2d_1a/conv/kernel": np.zeros((3, 3, 3, 32), np.float32)})
     with pytest.raises(ValueError, match="do not match"):
         load_params(str(bad))
+
+
+@pytest.mark.slow
+def test_random_feature_fid_frozen_value():
+    """The random-feature FID pipeline (seed → random Inception init →
+    features → Fréchet distance) must be stable across refactors: relative
+    learning-curve comparisons (RESULTS.md) are only meaningful if the
+    metric itself doesn't drift. Frozen value recorded 2026-08-17."""
+    from biggan_tpu.eval.fid import compute_fid
+    from biggan_tpu.eval.inception import load_params, make_feature_fn
+
+    params, pretrained = load_params(None, 0)
+    assert not pretrained
+    fn = make_feature_fn(params)
+    rng = np.random.RandomState(0)
+    a = (rng.rand(8, 32, 32, 3) * 2 - 1).astype(np.float32)
+    b = (rng.rand(8, 32, 32, 3) * 2 - 1).astype(np.float32)
+    fid_ab = compute_fid([a], [b], fn, max_samples=8)
+    fid_aa = compute_fid([a], [a.copy()], fn, max_samples=8)
+    np.testing.assert_allclose(fid_ab, 0.97867, rtol=0.05)
+    assert abs(fid_aa) < 1e-3  # identical sets -> ~0
