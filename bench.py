@@ -18,6 +18,35 @@ import time
 
 import numpy as np
 
+# Peak bf16 compute (FLOP/s) and HBM bandwidth (bytes/s) by device kind —
+# the roofline constants. Matched by longest prefix of ``device_kind`` so
+# "TPU v5 lite" wins over "TPU v5"; an unknown kind falls back to v5e
+# numbers and is FLAGGED in the regime string (VERDICT r2 weak #2: never
+# silently assume the pool's silicon).
+_CHIP_PEAKS = {
+    "TPU v5 lite": (197e12, 819e9),
+    "TPU v5e": (197e12, 819e9),
+    "TPU v4": (275e12, 1228e9),
+    "TPU v5p": (459e12, 2765e9),
+    "TPU v5": (459e12, 2765e9),
+    "TPU v6 lite": (918e12, 1640e9),
+    "TPU v6e": (918e12, 1640e9),
+    "TPU v6": (918e12, 1640e9),
+    "TPU v3": (123e12, 900e9),
+    "TPU v2": (45e12, 700e9),
+}
+
+
+def chip_peaks():
+    """(peak_flops, peak_bw, device_kind, recognized) for device 0."""
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for prefix in sorted(_CHIP_PEAKS, key=len, reverse=True):
+        if kind.startswith(prefix):
+            return (*_CHIP_PEAKS[prefix], kind, True)
+    return (197e12, 819e9, kind, False)
+
 
 def build_bench_step(**config_overrides):
     """Shared benchmark setup (also used by benchmarks/hbm_bytes.py and
@@ -35,8 +64,12 @@ def build_bench_step(**config_overrides):
     from biggan_tpu.training.train_state import create_train_state
     from biggan_tpu.training.train_step import make_train_step
 
+    # n_critic is NOT forced here: the biggan128_paper preset's real value
+    # (2, the paper's D:G ratio) flows through, so the headline measures
+    # the actual flagship config (VERDICT r2 weak #3). Callers that need
+    # the historical 1:1 shape (byte A/Bs vs r1/r2 tables) pass n_critic=1.
     overrides = dict(
-        img_size=128, ch=96, batch_size=256, n_critic=1, grad_accum=1,
+        img_size=128, ch=96, batch_size=256, grad_accum=1,
         num_classes=1000, compute_dtype="bfloat16", dataset="synthetic",
     )
     overrides.update(config_overrides)
@@ -92,6 +125,8 @@ def run_bench(
     ch: int = 96,
     warmup: int = 3,
     iters: int = 10,
+    num_windows: int = 6,
+    window_sleep_s: float = 2.0,
     attn_impl: str = "auto",
     sn_impl: str = "auto",
     **config_overrides,
@@ -130,18 +165,25 @@ def run_bench(
     # window is pooled, the headline is clamped to the roofline floor (an
     # upper bound on true single-chip speed, labeled as such).
     windows = []
-    for _ in range(5):
+    for w in range(num_windows):
         t0 = time.perf_counter()
         for i in range(iters):
             state, metrics = step_fn(state, batches[i % len(batches)])
         jax.block_until_ready(metrics)
         windows.append((time.perf_counter() - t0) / iters)
+        if w < num_windows - 1 and window_sleep_s:
+            time.sleep(window_sleep_s)  # sample different pool states
     best, median = min(windows), sorted(windows)[len(windows) // 2]
 
+    peak_flops, peak_bw, chip_kind, chip_known = chip_peaks()
     floor_s = None
     if tflops_per_step:
-        floor_s = max(tflops_per_step * 1e12 / 197e12, (gb_per_step or 0) * 2**30 / 819e9)
+        floor_s = max(
+            tflops_per_step * 1e12 / peak_flops, (gb_per_step or 0) * 2**30 / peak_bw
+        )
     step_s, regime = classify_windows(windows, floor_s)
+    if not chip_known:
+        regime += f"-UNKNOWN-CHIP({chip_kind})"
 
     n_chips = len(jax.devices())
     images_per_sec = cfg.batch_size * cfg.n_critic / step_s
@@ -153,12 +195,20 @@ def run_bench(
         "detail": {
             "img_size": img_size,
             "batch_size": cfg.batch_size,
+            "n_critic": cfg.n_critic,
             "ch": ch,
             "n_chips": n_chips,
+            "chip_kind": chip_kind,
+            "chip_peaks": {"bf16_tflops": peak_flops / 1e12, "hbm_gb_s": peak_bw / 1e9},
             "regime": regime,
+            # the headline `value` is a MEASUREMENT only in the
+            # single-chip-consistent regime; in the clamped regime it is
+            # the roofline upper bound computed from XLA's byte/FLOP model
+            "value_is_measured": regime.startswith("single-chip-consistent"),
             "step_ms": round(1000 * step_s, 2),
             "step_ms_best_window": round(1000 * best, 2),
             "step_ms_median": round(1000 * median, 2),
+            "step_ms_windows": [round(1000 * w, 2) for w in windows],
             "roofline_floor_ms": round(1000 * floor_s, 2) if floor_s else None,
             "pooled_images_per_sec": round(cfg.batch_size * cfg.n_critic / best / n_chips, 2),
             "model_tflops_per_step": tflops_per_step,

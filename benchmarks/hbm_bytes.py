@@ -43,6 +43,26 @@ VARIANTS = {
     "bf16_mu": {"adam_mu_dtype": "bfloat16"},
     "matw": {"materialize_weights": True},
     "matw_b256": {"materialize_weights": True, "batch_size": 256},
+    # r3: pinned-residual BN backward A/B (norm_bwd="ref" = naive autodiff,
+    # the r2 baseline) and the per-image-byte levers at the headline batch
+    "norm_pinned": {"norm_bwd": "pinned"},
+    "norm_pinned_b256": {"norm_bwd": "pinned", "batch_size": 256},
+    "fused_gd_b256": {"fused_gd": True, "batch_size": 256},
+    "bf16_mu_b256": {"adam_mu_dtype": "bfloat16", "batch_size": 256},
+    "ncritic2": {"n_critic": 2},
+    "ncritic2_b256": {"n_critic": 2, "batch_size": 256},
+    # grad-accum amortization of the batch-independent pool: per-chip
+    # virtual batches toward the paper's global 2048 (micro stays 256)
+    "ga2_b512": {"batch_size": 512, "grad_accum": 2},
+    "ga4_b1024": {"batch_size": 1024, "grad_accum": 4},
+    "fused_gd_ga2_b512": {"fused_gd": True, "batch_size": 512, "grad_accum": 2},
+    # the 256/512px BASELINE presets (biggan256_ici / biggan512_pod shapes
+    # on one chip: remat on, per-chip batch share)
+    "p256_b64": {"img_size": 256, "batch_size": 64, "remat": True},
+    "p256_b64_n2": {"img_size": 256, "batch_size": 64, "remat": True, "n_critic": 2},
+    "p512_b16": {"img_size": 512, "batch_size": 16, "remat": True},
+    "ncritic2_b256_bf16mu": {"n_critic": 2, "batch_size": 256,
+                             "adam_mu_dtype": "bfloat16"},
 }
 
 
@@ -51,7 +71,10 @@ def probe(name: str, overrides: dict, timed: bool, iters: int = 10) -> dict:
 
     from bench import build_bench_step  # SAME program as the headline bench
 
-    base = dict(batch_size=32)  # fixed-pool effects show best at small batch
+    # fixed-pool effects show best at small batch; n_critic pinned to 1 so
+    # byte tables stay comparable across rounds (bench.py now lets the
+    # preset's n_critic=2 through for the headline)
+    base = dict(batch_size=32, n_critic=1)
     base.update(overrides)
     cfg, state, step_fn, make_batch = build_bench_step(**base)
     batch = make_batch()

@@ -81,7 +81,9 @@ def analyze(hlo_text: str):
         # metadata op_name gives the JAX-level source
         meta = re.search(r'op_name="([^"]*)"', line)
         src = meta.group(1) if meta else ""
-        per_op.append((total, kind, name, src))
+        fm = re.search(r'source_file="([^"]*)" source_line=(\d+)', line)
+        site = f"{os.path.basename(fm.group(1))}:{fm.group(2)}" if fm else ""
+        per_op.append((total, kind, name, src, site))
     return per_op
 
 
@@ -123,9 +125,27 @@ def _report(text: str, top: int):
     for kind, t in sorted(by_kind.items(), key=lambda kv: -kv[1])[:15]:
         print(f"{t / 2**30:8.2f} GiB  {kind}")
 
+    # group by JAX-level module path (first segments of metadata op_name,
+    # jit(train_step)/ stripped): where in the model the bytes live
+    by_path = defaultdict(int)
+    for t, _, _, src, _ in per_op:
+        p = src.replace("jit(train_step)/", "")
+        by_path["/".join(p.split("/")[:3]) if p else "(no metadata)"] += t
+    print("\n== by module path (top 25) ==")
+    for p, t in sorted(by_path.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"{t / 2**30:8.2f} GiB  {p}")
+
+    # group by source site (file:line of the representative op)
+    by_site = defaultdict(int)
+    for t, _, _, _, site in per_op:
+        by_site[site or "(none)"] += t
+    print("\n== by source site (top 25) ==")
+    for s, t in sorted(by_site.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"{t / 2**30:8.2f} GiB  {s}")
+
     print(f"\n== top {top} single ops ==")
-    for t, kind, name, src in sorted(per_op, key=lambda x: -x[0])[:top]:
-        print(f"{t / 2**30:8.3f} GiB  {kind:12s} {name[:48]:48s} {src[:80]}")
+    for t, kind, name, src, site in sorted(per_op, key=lambda x: -x[0])[:top]:
+        print(f"{t / 2**30:8.3f} GiB  {kind:12s} {name[:40]:40s} {site:24s} {src[:70]}")
 
 
 if __name__ == "__main__":
