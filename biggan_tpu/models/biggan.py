@@ -158,6 +158,7 @@ class BigGAN:
         # capture cfg.profile_steps steps into logs/<model_dir>/profile
         profile_start = start_step + 2 if cfg.profile_steps > 0 else -1
         profile_stop = profile_start + cfg.profile_steps
+        interval_start_step, interval_start_time = step, time.time()
         try:
             while step < total_steps:
                 if step == profile_start:
@@ -180,6 +181,12 @@ class BigGAN:
                     break
 
                 if step % cfg.print_freq == 0 or step == start_step + 1:
+                    # steady-state throughput: steps dispatched since the
+                    # last print interval ended, BEFORE this interval's
+                    # device_get drain — so the pipeline-stall cost of
+                    # logging itself is excluded from the rate
+                    t_drain = time.time()
+                    steady_steps = step - interval_start_step
                     metrics = jax.device_get(metrics)
                     if cfg.log_sigma:
                         sig = jax.device_get(self._sigma_metrics())
@@ -191,11 +198,15 @@ class BigGAN:
                                 [v for k, v in sig.items() if k.startswith(f"{net}_sigma/")],
                             )
                     dt = time.time() - t0
-                    imgs_per_sec = cfg.batch_size * cfg.n_critic / dt
+                    imgs_per_sec = (
+                        steady_steps * cfg.batch_size * cfg.n_critic
+                        / max(t_drain - interval_start_time, 1e-9)
+                    )
                     epoch, idx = divmod(step - 1, cfg.iteration)
                     logger.print_iter(epoch, idx + 1, cfg.iteration, dt, metrics, imgs_per_sec)
                     logger.log(step, {**metrics, "images_per_sec": imgs_per_sec})
                     self._write_train_samples(step)
+                    interval_start_step, interval_start_time = step, time.time()
                 if step % cfg.save_freq == 0:
                     self.save()
         finally:
