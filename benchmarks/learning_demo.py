@@ -18,7 +18,10 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main() -> int:
@@ -38,6 +41,11 @@ def main() -> int:
     # ~6.9k steps): demo-length runs must let the EMA generator actually
     # track training, or the FID trend evaluates near-init EMA weights.
     ap.add_argument("--moving-decay", type=float, default=0.99)
+    ap.add_argument("--adam-mu", type=str, default=None,
+                    choices=["float32", "bfloat16"],
+                    help="Adam first-moment dtype (learning-parity A/B)")
+    ap.add_argument("--n-critic", type=int, default=None,
+                    help="D updates per G update (headline config uses 2)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend (smoke runs)")
     args = ap.parse_args()
 
@@ -65,6 +73,10 @@ def main() -> int:
         overrides = {}
         if args.compute_dtype:
             overrides["compute_dtype"] = args.compute_dtype
+        if args.adam_mu:
+            overrides["adam_mu_dtype"] = args.adam_mu
+        if args.n_critic:
+            overrides["n_critic"] = args.n_critic
         cfg = get_config(
             "biggan32_cifar10",
             dataset=ds_name,
