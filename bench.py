@@ -202,9 +202,10 @@ def run_bench(
             "chip_peaks": {"bf16_tflops": peak_flops / 1e12, "hbm_gb_s": peak_bw / 1e9},
             "regime": regime,
             # the headline `value` is a MEASUREMENT only in the
-            # single-chip-consistent regime; in the clamped regime it is
-            # the roofline upper bound computed from XLA's byte/FLOP model
-            "value_is_measured": regime.startswith("single-chip-consistent"),
+            # single-chip-consistent regime AND on recognized silicon —
+            # with fallback constants neither the floor nor the clamp is
+            # trustworthy, so unknown chips never claim a measurement
+            "value_is_measured": chip_known and regime.startswith("single-chip-consistent"),
             "step_ms": round(1000 * step_s, 2),
             "step_ms_best_window": round(1000 * best, 2),
             "step_ms_median": round(1000 * median, 2),

@@ -35,9 +35,16 @@ def main() -> int:
 
     cfg, state, step_fn, make_batch = build_bench_step()
     batch = make_batch()
-    ca = step_fn.lower(state, batch).compile().cost_analysis()
+    try:
+        ca = step_fn.lower(state, batch).compile().cost_analysis()
+        floor_flops, floor_bytes = ca.get("flops", 0.0), ca.get("bytes accessed", 0.0)
+    except Exception:
+        floor_flops = floor_bytes = 0.0
     peak_flops, peak_bw, kind, _ = chip_peaks()
-    floor_s = max(ca["flops"] / peak_flops, ca["bytes accessed"] / peak_bw)
+    floor_s = max(floor_flops / peak_flops, floor_bytes / peak_bw)
+    if floor_s == 0.0:
+        print("[catch] no cost model available — cannot classify windows")
+        return 1
     print(f"[catch] {kind}: roofline floor {floor_s * 1e3:.1f} ms", flush=True)
 
     state, metrics = step_fn(state, batch)  # warm

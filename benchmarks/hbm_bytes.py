@@ -58,9 +58,10 @@ VARIANTS = {
     "fused_gd_ga2_b512": {"fused_gd": True, "batch_size": 512, "grad_accum": 2},
     # the 256/512px BASELINE presets (biggan256_ici / biggan512_pod shapes
     # on one chip: remat on, per-chip batch share)
-    "p256_b64": {"img_size": 256, "batch_size": 64, "remat": True},
-    "p256_b64_n2": {"img_size": 256, "batch_size": 64, "remat": True, "n_critic": 2},
-    "p512_b16": {"img_size": 512, "batch_size": 16, "remat": True},
+    "p256_b64": {"img_size": 256, "batch_size": 64, "remat": True, "z_dim": 140},
+    "p256_b64_n2": {"img_size": 256, "batch_size": 64, "remat": True, "n_critic": 2,
+                    "z_dim": 140},
+    "p512_b16": {"img_size": 512, "batch_size": 16, "remat": True, "z_dim": 160},
     "ncritic2_b256_bf16mu": {"n_critic": 2, "batch_size": 256,
                              "adam_mu_dtype": "bfloat16"},
 }

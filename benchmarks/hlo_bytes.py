@@ -103,7 +103,10 @@ def main():
 
     from bench import build_bench_step  # SAME program as the headline bench
 
-    cfg, state, step_fn, make_batch = build_bench_step(batch_size=args.batch)
+    # n_critic pinned to 1 so byte maps stay comparable with the archived
+    # r2 dump and the hbm_bytes tables (bench.py itself now runs the
+    # preset's n_critic=2)
+    cfg, state, step_fn, make_batch = build_bench_step(batch_size=args.batch, n_critic=1)
     compiled = step_fn.lower(state, make_batch()).compile()
     text = compiled.as_text()
     if args.dump:

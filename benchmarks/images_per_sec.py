@@ -25,7 +25,16 @@ def main(argv=None) -> int:
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--attn_impl", type=str, default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--sn_impl", type=str, default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--n_critic", type=int, default=None,
+                   help="override the preset's D:G ratio")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint blocks (the 256/512 memory-fit mode)")
     args = p.parse_args(argv)
+    extra = {}
+    if args.n_critic is not None:
+        extra["n_critic"] = args.n_critic
+    if args.remat:
+        extra["remat"] = True
     for size in args.img_size:
         result = run_bench(
             img_size=size,
@@ -34,6 +43,7 @@ def main(argv=None) -> int:
             iters=args.iters,
             attn_impl=args.attn_impl,
             sn_impl=args.sn_impl,
+            **extra,
         )
         print(json.dumps(result))
     return 0

@@ -47,6 +47,17 @@ def shared_epoch_perm(seed: int, epoch: int, n: int) -> np.ndarray:
     (``data/native/loader.cc``) — a resume at the same ``(seed,
     start_count)`` continues the exact same traversal whether or not the
     ``.so`` loads on the resuming host.
+
+    Version note: checkpoints written before this shared algorithm (which
+    replaced per-backend mt19937/numpy shuffles) replay a different
+    permutation for the one partially-consumed epoch when resumed — some
+    files seen twice, some skipped, for that epoch only; coverage is
+    exact again from the next epoch boundary.
+
+    The swap phase is an inherently sequential O(n) Python loop (the
+    draws are vectorized above); ~1s per epoch boundary at ImageNet scale
+    on the PIL-fallback path, and the native loader computes its own
+    permutation in C++.
     """
     if n < 2:
         return np.arange(n, dtype=np.int64)

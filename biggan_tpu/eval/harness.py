@@ -6,7 +6,8 @@ reference has no quantitative eval, SURVEY.md §2.3).
 
 Real-FID-at-50k readiness: the real side decodes through the native C++
 loader pool when available (the PIL path is host-bound at 299 px), the
-eval batch size follows ``cfg.batch_size`` unless overridden, and fake
+eval batch size follows ``cfg.batch_size`` (capped at 64) unless
+overridden, and fake
 labels are drawn from the *dataset's class marginal* — uniform fake labels
 against a skewed real set would bias conditional FID.
 """
@@ -60,10 +61,13 @@ def evaluate_gan(
 
     Streams both sides through one jitted Inception forward; peak HBM is
     one batch of 299×299 images plus the feature net. ``batch_size``
-    defaults to ``cfg.batch_size``.
+    defaults to ``min(cfg.batch_size, 64)`` — following the training
+    batch, but capped so evaluating a pod-preset checkpoint (batch 256+
+    at 512 px) on a single host doesn't multiply peak eval memory; pass
+    ``batch_size`` explicitly to override.
     """
     cfg = gan.cfg
-    batch_size = cfg.batch_size if batch_size is None else batch_size
+    batch_size = min(cfg.batch_size, 64) if batch_size is None else batch_size
     params, pretrained = load_params(weights_path, seed)
     feature_fn = make_feature_fn(params)
 

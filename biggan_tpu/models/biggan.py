@@ -181,13 +181,14 @@ class BigGAN:
                     break
 
                 if step % cfg.print_freq == 0 or step == start_step + 1:
-                    # steady-state throughput: steps dispatched since the
-                    # last print interval ended, BEFORE this interval's
-                    # device_get drain — so the pipeline-stall cost of
-                    # logging itself is excluded from the rate
-                    t_drain = time.time()
+                    # steady-state throughput, completion-to-completion:
+                    # the clock stops AFTER this step's metrics
+                    # materialize (so dispatched-but-running steps are
+                    # fully paid for) and restarts after logging/sampling,
+                    # so the logging stall itself is excluded.
                     steady_steps = step - interval_start_step
                     metrics = jax.device_get(metrics)
+                    t_done = time.time()
                     if cfg.log_sigma:
                         sig = jax.device_get(self._sigma_metrics())
                         metrics.update(sig)
@@ -200,7 +201,7 @@ class BigGAN:
                     dt = time.time() - t0
                     imgs_per_sec = (
                         steady_steps * cfg.batch_size * cfg.n_critic
-                        / max(t_drain - interval_start_time, 1e-9)
+                        / max(t_done - interval_start_time, 1e-9)
                     )
                     epoch, idx = divmod(step - 1, cfg.iteration)
                     logger.print_iter(epoch, idx + 1, cfg.iteration, dt, metrics, imgs_per_sec)
@@ -209,6 +210,8 @@ class BigGAN:
                     interval_start_step, interval_start_time = step, time.time()
                 if step % cfg.save_freq == 0:
                     self.save()
+                    # checkpoint time must not deflate the next interval
+                    interval_start_step, interval_start_time = step, time.time()
         finally:
             self.ckpt.end_step_polling()  # outside the loop SIGTERM saves immediately
             loader.close()

@@ -21,6 +21,12 @@ def _f32(x):
     return x.astype(jnp.float32)
 
 
+def uses_gradient_penalty(gan_type: str) -> bool:
+    """True for losses that double-differentiate D (the GP term needs
+    grad-of-grad, which rules out first-order custom VJPs in D)."""
+    return gan_type in ("wgan-gp", "wgan-lp", "dragan")
+
+
 def discriminator_loss(gan_type: str, real_logits: jax.Array, fake_logits: jax.Array) -> jax.Array:
     """D loss on real/fake logits (ref ``discriminator_loss``, ops.py:~435-455)."""
     real, fake = _f32(real_logits), _f32(fake_logits)

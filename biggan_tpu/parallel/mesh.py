@@ -40,6 +40,11 @@ def maybe_init_distributed() -> None:
     # Manual clusters (no SLURM/GKE autodetect): pass the coordinates
     # explicitly from the env — the multi-process CPU e2e test drives this.
     if os.environ.get("JAX_NUM_PROCESSES"):
+        if "JAX_PROCESS_ID" not in os.environ:
+            raise RuntimeError(
+                "JAX_PROCESS_ID must be set when JAX_NUM_PROCESSES is "
+                "(manual cluster launch needs both)"
+            )
         kwargs = dict(
             coordinator_address=addr,
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),

@@ -56,7 +56,9 @@ def build_models(cfg: GANConfig):
     opt_bwd = cfg.norm_bwd == "pinned"
     # Gradient-penalty losses differentiate through D's backward pass;
     # custom_vjp rules are first-order only, so D keeps naive-autodiff BN.
-    d_opt_bwd = opt_bwd and cfg.gan_type not in ("wgan-gp", "wgan-lp", "dragan")
+    from biggan_tpu.ops.losses import uses_gradient_penalty
+
+    d_opt_bwd = opt_bwd and not uses_gradient_penalty(cfg.gan_type)
     generator = Generator(
         img_size=cfg.img_size,
         ch=cfg.ch,

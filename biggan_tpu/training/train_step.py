@@ -41,6 +41,7 @@ import optax
 from biggan_tpu.configs.base import GANConfig
 from biggan_tpu.ops.losses import (
     discriminator_loss,
+    uses_gradient_penalty,
     generator_loss,
     gradient_penalty,
     orthogonal_regularization,
@@ -130,7 +131,7 @@ def make_train_step(cfg: GANConfig, axis_name: Optional[str] = None):
         d_state_fake = {**d_mut, "sn_u": d_state["sn_u"]}
         fake_logits, d_mut = disc_forward(d_params, d_state_fake, fake, fake_labels)
         loss = discriminator_loss(cfg.gan_type, real_logits, fake_logits)
-        if cfg.gan_type in ("wgan-gp", "wgan-lp", "dragan"):
+        if uses_gradient_penalty(cfg.gan_type):
             d_apply = lambda imgs: disc_forward(d_params, d_state, imgs, labels)[0]  # noqa: E731
             loss = loss + gradient_penalty(
                 d_apply, gp_rng, real, fake, cfg.gan_type, cfg.gp_weight
@@ -220,7 +221,7 @@ def make_train_step(cfg: GANConfig, axis_name: Optional[str] = None):
         d_state_fake_in = d_mut
         fl_d, d_mut = disc_forward(d_params, d_state_fake_in, fake_sg, fake_labels)
         d_loss = discriminator_loss(cfg.gan_type, real_logits, fl_d)
-        if cfg.gan_type in ("wgan-gp", "wgan-lp", "dragan"):
+        if uses_gradient_penalty(cfg.gan_type):
             gp_rng = jax.random.fold_in(rng, 7)
             d_apply = lambda imgs: disc_forward(d_params, d_state, imgs, labels)[0]  # noqa: E731
             d_loss = d_loss + gradient_penalty(
