@@ -25,7 +25,7 @@ def parse_args(argv=None) -> GANConfig:
 
     # reference flags (main.py:~10-70)
     parser.add_argument("--phase", type=str, default="train",
-                        choices=["train", "test", "eval"])
+                        choices=["train", "test", "eval", "sweep"])
     parser.add_argument("--eval_num", type=int, default=None,
                         help="samples per side for --phase eval FID/IS")
     parser.add_argument("--dataset", type=str, default=None,
@@ -122,6 +122,9 @@ def main(argv=None) -> int:
     if cfg.phase == "train":
         gan.train()
         print(" [*] Training finished!")
+    elif cfg.phase == "sweep":
+        gan.truncation_sweep()
+        print(" [*] Truncation sweep finished!")
     elif cfg.phase == "eval":
         metrics = gan.evaluate()
         for k, v in metrics.items():

@@ -19,7 +19,7 @@ from typing import Optional, Tuple
 @dataclasses.dataclass(frozen=True)
 class GANConfig:
     # --- phase / bookkeeping (ref main.py flags) ---
-    phase: str = "train"  # train | test | eval (FID/IS — new over the reference)
+    phase: str = "train"  # train | test | eval (FID/IS) | sweep (truncation ψ)
     eval_num: int = 10_000  # samples per side for --phase eval FID/IS
     dataset: str = "synthetic"  # dataset name → <data_root>/<name>/*.* or "synthetic"
     data_root: str = "dataset"  # parent dir of datasets (ref hardcodes ./dataset)
@@ -120,8 +120,8 @@ class GANConfig:
     seed: int = 0
 
     def __post_init__(self):
-        if self.phase not in ("train", "test", "eval"):
-            raise ValueError(f"phase must be train|test|eval, got {self.phase!r}")
+        if self.phase not in ("train", "test", "eval", "sweep"):
+            raise ValueError(f"phase must be train|test|eval|sweep, got {self.phase!r}")
         if self.batch_size % self.grad_accum != 0:
             raise ValueError("batch_size must be divisible by grad_accum")
         if self.img_size not in (32, 64, 128, 256, 512):

@@ -266,6 +266,38 @@ class BigGAN:
             save_image_grid(np.asarray(imgs), path)
             print(f" [*] wrote {path}")
 
+    def truncation_sweep(
+        self,
+        psis=(0.2, 0.4, 0.6, 0.8, 1.0),
+        n: Optional[int] = None,
+    ) -> list:
+        """Fidelity↔variety sweep over the truncation ψ (SURVEY §7 step 7;
+        the BigGAN paper's signature figure). One grid per ψ with the SAME
+        z and labels, so rows are directly comparable: small ψ collapses
+        toward the class modes, ψ=1 is the untruncated prior. Returns the
+        written paths."""
+        self._require_built()
+        cfg = self.cfg
+        if self._maybe_restore():
+            print(" [*] Load SUCCESS")
+        n = cfg.sample_num if n is None else n
+        z_rng, l_rng = jax.random.split(jax.random.PRNGKey(cfg.seed + 3))
+        labels = (
+            jax.random.randint(l_rng, (n,), 0, cfg.num_classes)
+            if cfg.num_classes > 0
+            else None
+        )
+        paths = []
+        for psi in psis:
+            imgs = self.sample(n, psi=psi, labels=labels, rng=z_rng)
+            path = os.path.join(
+                self.result_dir, f"{self.model_name}_truncation_psi{psi:.2f}.png"
+            )
+            save_image_grid(np.asarray(imgs), path)
+            paths.append(path)
+            print(f" [*] wrote {path}")
+        return paths
+
     def sample(
         self,
         n: int,

@@ -4,6 +4,8 @@ Losses finite, EMA ≠ raw params, SN u mutates, checkpoint→restore→resume
 round-trips, sample grid PNG written.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -308,3 +310,22 @@ def test_eval_mode_does_not_mutate_state():
         {"params": state.d_params, **state.d_state}, imgs, labels, train=False
     )
     assert logits.shape == (2, 1)
+
+
+def test_truncation_sweep_writes_one_grid_per_psi(tmp_path, monkeypatch):
+    """ψ-sweep (SURVEY §7 step 7): same z/labels per grid, one PNG per ψ,
+    and ψ actually changes the samples (z is scaled toward the modes)."""
+    from PIL import Image
+
+    from biggan_tpu.models.biggan import BigGAN
+
+    monkeypatch.chdir(tmp_path)
+    gan = BigGAN(tiny_cfg())
+    gan.build_model()
+    paths = gan.truncation_sweep(psis=(0.3, 1.0), n=4)
+    assert len(paths) == 2
+    imgs = []
+    for p in paths:
+        assert os.path.exists(p)
+        imgs.append(np.asarray(Image.open(p)))
+    assert not np.array_equal(imgs[0], imgs[1])  # ψ moves the output
