@@ -99,3 +99,32 @@ def test_sigterm_saves_checkpoint_and_resume(tmp_path):
     finally:
         proc2.kill()
         proc2.wait(timeout=60)
+
+
+def test_second_sigterm_during_save_skips_reentrant_save(tmp_path, monkeypatch):
+    """orbax save is not reentrant: a SIGTERM landing while the main
+    thread is mid-save must terminate without starting a second save
+    (the in-flight atomic save finishes or is discarded)."""
+    from biggan_tpu.checkpoint.manager import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    redelivered, saves = [], []
+    monkeypatch.setattr(mgr, "redeliver_sigterm", lambda: redelivered.append(1))
+    monkeypatch.setattr(mgr, "save", lambda *a, **k: saves.append(1))
+    old_handler = signal.getsignal(signal.SIGTERM)
+    try:
+        mgr.install_preemption_hook(lambda: object())
+        handler = signal.getsignal(signal.SIGTERM)
+
+        # main thread "mid-save": the handler must not re-enter save()
+        mgr._saving = True
+        handler(signal.SIGTERM, None)  # loop not active -> best-effort path
+        assert redelivered == [1] and saves == []
+
+        # not saving: the best-effort path does save before terminating
+        mgr._saving = False
+        handler(signal.SIGTERM, None)
+        assert saves == [1] and redelivered == [1, 1]
+    finally:
+        signal.signal(signal.SIGTERM, old_handler)
+        mgr.close()
