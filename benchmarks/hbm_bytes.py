@@ -64,6 +64,10 @@ VARIANTS = {
     "p512_b16": {"img_size": 512, "batch_size": 16, "remat": True, "z_dim": 160},
     "ncritic2_b256_bf16mu": {"n_critic": 2, "batch_size": 256,
                              "adam_mu_dtype": "bfloat16"},
+    # real-silicon attention A/B at the headline config (trace_probe.py):
+    # the device trace showed the Pallas flash kernels 7x off roofline
+    "attn_xla_n2_b256": {"attn_impl": "xla", "n_critic": 2, "batch_size": 256},
+    "sn_xla_n2_b256": {"sn_impl": "xla", "n_critic": 2, "batch_size": 256},
 }
 
 

@@ -1,0 +1,128 @@
+"""Measure REAL device time per train step via the jax profiler trace.
+
+The axon pool's wall-clock is unusable for measurement (pooled-fast acks
+below single-chip physics, BENCH_NOTES "Physics check") and XLA cost
+analysis is a byte/FLOP *model* — it told us the step's roofline floor
+but not how far real silicon runs from it. The profiler trace closes the
+gap: the service's VM emits a real ``/device:TPU:0`` lane with per-XLA-op
+busy times, and the per-step ``jit_train_step`` span is genuine device
+wall time (op durations fill >99.9% of the span — no queue gaps).
+
+For each variant this compiles the bench step, traces ``--steps`` of it,
+and prints one JSON line: device ms/step, derived img/s, the roofline
+floor for comparison, and the top op groups — a real-silicon A/B meter.
+
+Usage: python benchmarks/trace_probe.py [--variants base,attn_xla] [--steps 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _load_device_steps(trace_dir: str):
+    """Parse the newest trace.json.gz → (step spans, op events) on the TPU lane."""
+    paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True))
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {trace_dir}")
+    with gzip.open(paths[-1]) as f:
+        trace = json.load(f)
+    raw = trace["traceEvents"]
+    pids = {e["pid"]: e["args"].get("name") for e in raw
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    tpu_pids = [p for p, n in pids.items() if "TPU" in str(n)]
+    if not tpu_pids:
+        return [], []
+    tpu = tpu_pids[0]
+    tids = {(e["pid"], e.get("tid")): e["args"].get("name") for e in raw
+            if e.get("ph") == "M" and e.get("name") == "thread_name"}
+    xevents = [e for e in raw if e.get("ph") == "X" and e["pid"] == tpu]
+    steps = sorted(
+        (e for e in xevents if str(e.get("name", "")).startswith("jit_train_step")),
+        key=lambda e: e["ts"],
+    )
+    ops = [e for e in xevents if tids.get((tpu, e.get("tid"))) == "XLA Ops"]
+    return steps, ops
+
+
+def _op_groups(steps, ops, top=8):
+    if not steps:
+        return {}
+    s0 = steps[0]
+    by = collections.Counter()
+    for e in ops:
+        if s0["ts"] <= e["ts"] < s0["ts"] + s0["dur"]:
+            by[str(e["name"]).split(".")[0]] += e.get("dur", 0)
+    return {n: round(d / 1e3, 1) for n, d in by.most_common(top)}
+
+
+def probe(name: str, overrides: dict, steps: int) -> dict:
+    import jax
+
+    from bench import build_bench_step, chip_peaks
+
+    cfg, state, step_fn, make_batch = build_bench_step(**overrides)
+    batch = make_batch()
+    try:
+        ca = step_fn.lower(state, batch).compile().cost_analysis()
+        peak_flops, peak_bw, kind, _ = chip_peaks()
+        floor_ms = 1e3 * max(ca.get("flops", 0.0) / peak_flops,
+                             ca.get("bytes accessed", 0.0) / peak_bw)
+    except Exception:
+        floor_ms, kind = None, "?"
+
+    state, m = step_fn(state, batch)  # warm (compile outside the trace)
+    jax.block_until_ready(m)
+    tdir = tempfile.mkdtemp(prefix=f"trace_{name}_")
+    with jax.profiler.trace(tdir):
+        for _ in range(steps):
+            state, m = step_fn(state, batch)
+        jax.block_until_ready(m)
+
+    spans, ops = _load_device_steps(tdir)
+    out = {"variant": name, "chip": kind,
+           "roofline_floor_ms": round(floor_ms, 1) if floor_ms else None}
+    if spans:
+        durs = [e["dur"] / 1e3 for e in spans]
+        best = min(durs)
+        imgs = cfg.batch_size * cfg.n_critic
+        out.update(
+            device_ms_per_step=round(best, 1),
+            device_ms_all=[round(d, 1) for d in durs],
+            images_per_sec_measured=round(imgs / best * 1e3, 1),
+            pct_of_roofline=round(100 * floor_ms / best, 1) if floor_ms else None,
+            top_op_groups=_op_groups(spans, ops),
+        )
+    else:
+        out["error"] = "no device lane in trace (profiler unsupported here)"
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", type=str, default="base")
+    ap.add_argument("--steps", type=int, default=3)
+    args = ap.parse_args()
+
+    from hbm_bytes import VARIANTS  # same variant vocabulary
+
+    for name in args.variants.split(","):
+        try:
+            base = dict(batch_size=32, n_critic=1)
+            base.update(VARIANTS[name])
+            print(json.dumps(probe(name, base, args.steps)), flush=True)
+        except Exception as e:
+            print(json.dumps({"variant": name, "error": repr(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
