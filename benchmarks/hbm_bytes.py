@@ -68,6 +68,11 @@ VARIANTS = {
     # the device trace showed the Pallas flash kernels 7x off roofline
     "attn_xla_n2_b256": {"attn_impl": "xla", "n_critic": 2, "batch_size": 256},
     "sn_xla_n2_b256": {"sn_impl": "xla", "n_critic": 2, "batch_size": 256},
+    # real-silicon upsampler A/B: stride-2 deconvs may run at poor MXU
+    # efficiency; nn_conv (the paper's scheme) trades 2x model FLOPs for
+    # dense convs — only the device trace can rank them
+    "nn_conv_n2_b256": {"g_up_mode": "nn_conv", "n_critic": 2, "batch_size": 256},
+    "no_dnorm_n2_b256": {"d_norm": False, "n_critic": 2, "batch_size": 256},
 }
 
 
