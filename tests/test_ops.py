@@ -185,3 +185,29 @@ def test_activations_contract():
     np.testing.assert_allclose(lrelu(x), [-0.4, -0.1, 0.0, 1.5], atol=1e-7)
     np.testing.assert_allclose(lrelu(x, alpha=0.1), [-0.2, -0.05, 0.0, 1.5], atol=1e-7)
     np.testing.assert_allclose(tanh(x), np.tanh(x), atol=1e-6)
+
+
+def test_fused_qkv_matches_separate_projections():
+    """The concatenated q/k/v projection matmul must be numerically
+    equivalent to three separate 1x1 convs — same params (identical tree
+    layout), same output, for both attention variants."""
+    rng = jax.random.PRNGKey(11)
+    x = jax.random.normal(rng, (2, 8, 8, 16), jnp.float32)
+    for pooled in (True, False):
+        fused = SelfAttention(pooled_kv=pooled, fused_qkv=True, impl="xla")
+        plain = SelfAttention(pooled_kv=pooled, fused_qkv=False, impl="xla")
+        vars_f = fused.init(jax.random.PRNGKey(1), x)
+        vars_p = plain.init(jax.random.PRNGKey(1), x)
+        # identical parameter trees (checkpoint compatibility)
+        assert jax.tree.structure(vars_f["params"]) == jax.tree.structure(vars_p["params"])
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            vars_f["params"], vars_p["params"],
+        )
+        y_f, mut_f = fused.apply(vars_f, x, train=True, mutable=["sn_u"])
+        y_p, mut_p = plain.apply(vars_p, x, train=True, mutable=["sn_u"])
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_p), atol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6),
+            mut_f["sn_u"], mut_p["sn_u"],
+        )
