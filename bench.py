@@ -118,15 +118,9 @@ def measure_device_step(step_fn, state, batch, steps: int = 2):
             for _ in range(steps):
                 state, m = step_fn(state, batch)
             jax.block_until_ready(m)
-        import os as _os
-        import sys as _sys
+        from biggan_tpu.utils.trace import load_device_steps
 
-        bench_dir = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "benchmarks")
-        if bench_dir not in _sys.path:
-            _sys.path.insert(0, bench_dir)
-        from trace_probe import _load_device_steps
-
-        spans, _ = _load_device_steps(tdir)
+        spans, _ = load_device_steps(tdir)
         if not spans:
             return None
         return min(e["dur"] for e in spans) / 1e6
@@ -224,6 +218,9 @@ def run_bench(
     # roofline clamp: it is real single-chip busy time (r3 finding). When
     # it exists and is physically consistent, it IS the headline.
     device_s = measure_device_step(step_fn, state, batches[0])
+    # 5% grace below the floor: the byte model overcounts slightly (b32
+    # measured 103.6% of its modeled floor), so a genuine measurement can
+    # sit a few percent under the modeled bound.
     if device_s is not None and (floor_s is None or device_s >= floor_s * 0.95):
         step_s, regime = device_s, "single-chip-measured-device-trace"
     if not chip_known:

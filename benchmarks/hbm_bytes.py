@@ -64,8 +64,8 @@ VARIANTS = {
     "p512_b16": {"img_size": 512, "batch_size": 16, "remat": True, "z_dim": 160},
     "ncritic2_b256_bf16mu": {"n_critic": 2, "batch_size": 256,
                              "adam_mu_dtype": "bfloat16"},
-    # real-silicon attention A/B at the headline config (trace_probe.py):
-    # the device trace showed the Pallas flash kernels 7x off roofline
+    # real-silicon attention A/B at the headline config (trace_probe.py);
+    # verdicts in BENCH_NOTES "Round 3b" — Pallas attention wins 1.6x
     "attn_xla_n2_b256": {"attn_impl": "xla", "n_critic": 2, "batch_size": 256},
     "sn_xla_n2_b256": {"sn_impl": "xla", "n_critic": 2, "batch_size": 256},
     # real-silicon upsampler A/B: stride-2 deconvs may run at poor MXU
@@ -79,7 +79,7 @@ VARIANTS = {
 def probe(name: str, overrides: dict, timed: bool, iters: int = 10) -> dict:
     import jax
 
-    from bench import build_bench_step  # SAME program as the headline bench
+    from bench import build_bench_step, chip_peaks  # SAME program as the headline bench
 
     # fixed-pool effects show best at small batch; n_critic pinned to 1 so
     # byte tables stay comparable across rounds (bench.py now lets the
@@ -90,13 +90,15 @@ def probe(name: str, overrides: dict, timed: bool, iters: int = 10) -> dict:
     batch = make_batch()
     compiled = step_fn.lower(state, batch).compile()
     ca = compiled.cost_analysis()
+    peak_flops, peak_bw, _, _ = chip_peaks()
     out = {
         "variant": name,
         "tflops": round(ca.get("flops", 0.0) / 1e12, 3),
         "hbm_gb": round(ca.get("bytes accessed", 0.0) / 2**30, 2),
-        # roofline floor on one v5e: max(compute, bandwidth) bound
+        # roofline floor on this chip: max(compute, bandwidth) bound
         "floor_ms": round(
-            1e3 * max(ca.get("flops", 0.0) / 197e12, ca.get("bytes accessed", 0.0) / 819e9), 1
+            1e3 * max(ca.get("flops", 0.0) / peak_flops,
+                      ca.get("bytes accessed", 0.0) / peak_bw), 1
         ),
     }
     if timed:

@@ -19,39 +19,13 @@ from __future__ import annotations
 
 import argparse
 import collections
-import glob
-import gzip
-import json
 import os
 import sys
 import tempfile
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-
-def _load_device_steps(trace_dir: str):
-    """Parse the newest trace.json.gz → (step spans, op events) on the TPU lane."""
-    paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True))
-    if not paths:
-        raise FileNotFoundError(f"no trace.json.gz under {trace_dir}")
-    with gzip.open(paths[-1]) as f:
-        trace = json.load(f)
-    raw = trace["traceEvents"]
-    pids = {e["pid"]: e["args"].get("name") for e in raw
-            if e.get("ph") == "M" and e.get("name") == "process_name"}
-    tpu_pids = [p for p, n in pids.items() if "TPU" in str(n)]
-    if not tpu_pids:
-        return [], []
-    tpu = tpu_pids[0]
-    tids = {(e["pid"], e.get("tid")): e["args"].get("name") for e in raw
-            if e.get("ph") == "M" and e.get("name") == "thread_name"}
-    xevents = [e for e in raw if e.get("ph") == "X" and e["pid"] == tpu]
-    steps = sorted(
-        (e for e in xevents if str(e.get("name", "")).startswith("jit_train_step")),
-        key=lambda e: e["ts"],
-    )
-    ops = [e for e in xevents if tids.get((tpu, e.get("tid"))) == "XLA Ops"]
-    return steps, ops
+from biggan_tpu.utils.trace import load_device_steps as _load_device_steps  # noqa: E402
 
 
 def _op_groups(steps, ops, top=8):
