@@ -51,6 +51,11 @@ VARIANTS = {
     "bf16_mu_b256": {"adam_mu_dtype": "bfloat16", "batch_size": 256},
     "ncritic2": {"n_critic": 2},
     "ncritic2_b256": {"n_critic": 2, "batch_size": 256},
+    # r3d: Pallas conv/deconv kernels for the measured-win shape classes
+    # (conv_impl default "auto" routes them on TPU; "xla" is the A/B off)
+    "conv_xla": {"conv_impl": "xla"},
+    "conv_xla_b256": {"conv_impl": "xla", "n_critic": 2, "batch_size": 256},
+    "ncritic2_b256_pconv": {"n_critic": 2, "batch_size": 256},
     # grad-accum amortization of the batch-independent pool: per-chip
     # virtual batches toward the paper's global 2048 (micro stays 256)
     "ga2_b512": {"batch_size": 512, "grad_accum": 2},

@@ -74,6 +74,8 @@ def parse_args(argv=None) -> GANConfig:
                         choices=["auto", "xla", "pallas"])
     parser.add_argument("--sn_impl", type=str, default=None,
                         choices=["auto", "xla", "pallas"])
+    parser.add_argument("--conv_impl", type=str, default=None,
+                        choices=["auto", "xla", "pallas"])
     parser.add_argument("--remat", type=str2bool, default=None)
     parser.add_argument("--materialize_weights", type=str2bool, default=None,
                         help="materialize bf16-cast kernels in HBM (halves the "

@@ -1,0 +1,303 @@
+"""Pallas TPU kernel: 3x3 stride-1 SAME convolution for thin-channel stages.
+
+Motivation (measured, benchmarks/conv_probe.py on the axon v5 lite chip):
+XLA's conv emitter runs the flagship's late-stage 3x3 convs far below the
+MXU ceiling — 32.5% at 128^2x96 (the worst and hottest shape: the last G
+block, the first D block, and both their backward-dx convs), 57% at
+64^2x192 — while the 32^2x384 stage already hits 90% (left on XLA).
+Reformulating as dots at the XLA level loses (taps/tapsT probe rows: XLA
+re-layouts them to ~16%); only a hand-scheduled kernel can lift the
+thin-channel shapes toward their lane-padding ceiling (~75% at C=96).
+
+Design: grid over (batch, row-tiles). Each grid step receives its row
+tile plus a separate 2-row halo block (two BlockSpecs over the same
+H-padded input — index maps only, so Pallas's automatic double-buffering
+pipelines the HBM streams; halo rows cost one extra 2-row fetch per
+tile). The tile is assembled once into a VMEM scratch slab, then three
+in-kernel strategies (A/B'd on silicon, pick by ``variant``):
+
+- ``im2col``: build the (TILE*W, 9*Cin) patch matrix (nine VPU slab
+  copies) and run ONE matmul whose contracting dim 9*Cin fully packs the
+  MXU. Tight concat: pieces land at Cin-multiples, which are not
+  128-lane aligned for Cin=96 — Mosaic pays lane-crossing shuffles.
+- ``im2col_pad``: the same, but each piece zero-padded to 128 lanes
+  (K = 9*128): every copy is lane-tile aligned; the MXU wastes the zero
+  lanes instead (56% ceiling at C=96) but the VPU never shuffles.
+- ``acc9``: nine accumulating (TILE*W, Cin) x (Cin, Cout) matmuls
+  straight from the slab — no patch materialisation, K = Cin only.
+
+The W-axis tap shifts are in-register ``jnp.pad``+slice on the loaded
+slab (VPU moves); H-axis shifts are reads of the resident slab rows.
+f32 accumulation, bf16 in/out, per-channel bias fused.
+
+Backward: dx of a 3x3 SAME conv is itself a 3x3 SAME conv with the
+kernel spatially flipped and in/out channels swapped — the same kernel
+runs it at the same thin-channel shapes. dw stays on XLA (it contracts
+over B*H*W, a shape XLA tiles at high occupancy). Wired via
+``jax.custom_vjp``.
+
+Used by :class:`biggan_tpu.ops.layers.SNConv2D` when ``conv_impl`` is
+``"pallas"`` (auto-gated to TPU + supported shapes). Reference op:
+``conv`` (ref ops.py:~40-75) — semantics unchanged, parity-tested in
+tests/test_kernels.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+# Implementation selector, set once per model build from
+# ``GANConfig.conv_impl`` (same pattern as ``ops.sn.set_sn_impl``):
+# "auto" = this kernel on TPU for supported()+winning shapes, XLA
+# elsewhere; "xla"/"pallas" force. Algorithm selection only — both paths
+# are parity-tested in tests/test_kernels.py.
+_DEFAULT_IMPL = "auto"
+# The in-kernel strategy "auto" uses — the silicon A/B winner
+# (benchmarks/conv_probe.py p_* rows; see BENCH_NOTES round 3c).
+_DEFAULT_VARIANT = "im2col"
+
+
+def set_conv_impl(impl: str) -> None:
+    global _DEFAULT_IMPL
+    if impl not in ("auto", "xla", "pallas"):
+        raise ValueError(
+            f"conv_impl must be 'auto', 'xla' or 'pallas', got {impl!r}")
+    _DEFAULT_IMPL = impl
+
+
+def get_conv_impl() -> str:
+    return _DEFAULT_IMPL
+
+
+def use_pallas_conv(x_shape, kernel_size, strides, pad) -> bool:
+    """Should SNConv2D route this conv through the Pallas kernel?"""
+    if _DEFAULT_IMPL == "xla":
+        return False
+    if not supported(x_shape, kernel_size, strides, pad):
+        return False
+    return _DEFAULT_IMPL == "pallas" or jax.default_backend() == "tpu"
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pick_tile(h: int, w: int) -> int:
+    """Rows per tile: ~2048 MXU rows per matmul (the measured sweep
+    optimum — conv_pallas_tiles rows); must divide H, be even."""
+    target = max(2, 2048 // w)
+    for t in range(min(target, h), 1, -1):
+        if h % t == 0 and t % 2 == 0:
+            return t
+    return 2
+
+
+def _shift_w(slab, dx):
+    """Slab (TILE, W, C) shifted by dx-1 along W with zero fill."""
+    if dx == 1:
+        return slab
+    padded = jnp.pad(slab, ((0, 0), (1, 1), (0, 0)))
+    return jax.lax.slice(
+        padded, (0, dx, 0),
+        (slab.shape[0], dx + slab.shape[1], slab.shape[2]))
+
+
+def _kernel_s(main_ref, halo_ref, w_ref, b_ref, o_ref, slab_ref, patch_ref):
+    # im2col via direct scratch writes: one VPU store per tap piece (the
+    # pad/slice/concat construction in _kernel materializes ~3 temporaries
+    # per piece — measured 2.5 us/step of pure VPU time at 128^2x96).
+    # patch_ref: (TILE, W, 9C) scratch.
+    _, tile, w, c = main_ref.shape
+    co = o_ref.shape[-1]
+    bias = b_ref[0].astype(jnp.float32)
+
+    slab_ref[0:tile] = main_ref[0]
+    slab_ref[tile:tile + 2] = halo_ref[0]
+
+    for dy in range(3):
+        src = slab_ref[dy:dy + tile]  # (tile, w, c) — x rows m+dy-1
+        for dx in range(3):
+            c0 = (dy * 3 + dx) * c
+            if dx == 1:
+                patch_ref[:, :, c0:c0 + c] = src
+            elif dx == 0:  # x[m, n-1]: shift right, zero first column
+                patch_ref[:, 1:, c0:c0 + c] = src[:, :w - 1, :]
+                patch_ref[:, 0:1, c0:c0 + c] = jnp.zeros_like(src[:, 0:1, :])
+            else:  # dx == 2: x[m, n+1]: shift left, zero last column
+                patch_ref[:, :w - 1, c0:c0 + c] = src[:, 1:, :]
+                patch_ref[:, w - 1:, c0:c0 + c] = jnp.zeros_like(src[:, 0:1, :])
+    acc = jax.lax.dot_general(
+        patch_ref[:, :, :].reshape(tile * w, 9 * c), w_ref[:, :],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    y = (acc + bias).astype(o_ref.dtype)
+    o_ref[0] = y.reshape(tile, w, co)
+
+
+def _kernel(main_ref, halo_ref, w_ref, b_ref, o_ref, slab_ref, *, variant):
+    # main_ref: (1, TILE, W, C) rows [t*TILE, t*TILE+TILE) of the H-padded
+    # input; halo_ref: (1, 2, W, C) the next two rows; w_ref: (K, Co)
+    # packed (dy, dx, ci)-major (ci zero-padded to 128 for im2col_pad);
+    # o_ref: (1, TILE, W, Co); slab_ref: VMEM scratch (TILE+2, W, C).
+    _, tile, w, c = main_ref.shape
+    co = o_ref.shape[-1]
+    kc = w_ref.shape[0] // 9  # Cin, or 128 for the lane-padded variant
+    bias = b_ref[0].astype(jnp.float32)  # (Co,)
+
+    slab_ref[0:tile] = main_ref[0]
+    slab_ref[tile:tile + 2] = halo_ref[0]
+
+    def piece(dy, dx):
+        xs = _shift_w(slab_ref[dy:dy + tile], dx).reshape(tile * w, c)
+        if kc != c:  # lane-align each piece for the padded variant
+            xs = jnp.pad(xs, ((0, 0), (0, kc - c)))
+        return xs
+
+    if variant == "acc9":
+        acc = jnp.zeros((tile * w, co), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                acc += jax.lax.dot_general(
+                    piece(dy, dx), w_ref[pl.ds((dy * 3 + dx) * kc, kc), :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+    else:  # im2col / im2col_pad
+        patch = jnp.concatenate(
+            [piece(dy, dx) for dy in range(3) for dx in range(3)], axis=-1)
+        acc = jax.lax.dot_general(
+            patch, w_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    y = (acc + bias).astype(o_ref.dtype)
+    o_ref[0] = y.reshape(tile, w, co)
+
+
+def _pack_weights(w, variant, dtype):
+    """(3, 3, C, Co) -> (9*KC, Co), KC = C or the 128-lane round-up."""
+    c, co = w.shape[2], w.shape[3]
+    if variant == "im2col_pad" and c % LANE:
+        kc = (c + LANE - 1) // LANE * LANE
+        wp = jnp.zeros((9, kc, co), w.dtype).at[:, :c, :].set(
+            w.reshape(9, c, co))
+        return wp.reshape(9 * kc, co).astype(dtype)
+    return w.reshape(9 * c, co).astype(dtype)
+
+
+def _conv3x3_call(xp, wp, bias, *, variant, tile):
+    b, hp, w, c = xp.shape
+    h = hp - 2
+    co = wp.shape[-1]
+    if variant == "im2col_s":
+        kern = _kernel_s
+        scratch = [pltpu.VMEM((tile + 2, w, c), xp.dtype),
+                   pltpu.VMEM((tile, w, 9 * c), xp.dtype)]
+    else:
+        kern = functools.partial(_kernel, variant=variant)
+        scratch = [pltpu.VMEM((tile + 2, w, c), xp.dtype)]
+    return pl.pallas_call(
+        kern,
+        grid=(b, h // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, w, c), lambda i, t: (i, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, w, c),
+                         lambda i, t: (i, t * (tile // 2) + tile // 2, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wp.shape, lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, w, co), lambda i, t: (i, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, co), xp.dtype),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * 9 * c * co,
+            bytes_accessed=2 * b * h * w * (c + co) + 2 * 9 * c * co,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(xp, xp, wp, bias)  # xp twice: main tile + halo views of one array
+
+
+def _run(x, w, bias, variant, tile):
+    b, h, w_sp, c = x.shape
+    co = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    wp = _pack_weights(w, variant, x.dtype)
+    t = tile or _pick_tile(h, w_sp)
+    return _conv3x3_call(xp, wp, bias.reshape(1, co).astype(x.dtype),
+                         variant=variant, tile=t)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _conv3x3(x, w, bias, variant, tile):
+    return _run(x, w, bias, variant, tile)
+
+
+def _conv3x3_fwd(x, w, bias, variant, tile):
+    return _run(x, w, bias, variant, tile), (x, w)
+
+
+def _conv3x3_bwd(variant, tile, res, g):
+    x, w = res
+    # dx: 3x3 SAME conv of g with the spatially-flipped, channel-swapped
+    # kernel — the same thin-channel shape, so the same kernel runs it.
+    w_t = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))  # (3, 3, Co, Ci)
+    dx = _run(g, w_t, jnp.zeros((w.shape[2],), g.dtype), variant, tile)
+    # dw/db on XLA: the weight grad contracts over B*H*W, a fat shape XLA
+    # already tiles at high MXU occupancy (not the thin-channel problem).
+    gp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dw = jax.lax.conv_general_dilated(
+        jnp.transpose(gp, (3, 1, 2, 0)),        # (Ci, H+2, W+2, B)
+        jnp.transpose(g, (1, 2, 0, 3)),         # (H, W, B, Co)
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )  # (Ci, 3, 3, Co)
+    dw = jnp.transpose(dw, (1, 2, 0, 3)).astype(w.dtype)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)).astype(g.dtype)
+    return dx, dw, db
+
+
+_conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)
+
+
+def supported(x_shape, kernel_size, strides, pad) -> bool:
+    """Shapes this kernel handles AND wins on (measured, conv_probe
+    r3d rows): 3x3 stride-1 SAME, spatial >= 64 with even dims, and
+    128 <= Cin <= 256. Outside that band XLA keeps the op: at 128^2x96
+    the patch-build VPU cost leaves this kernel at 25% MXU vs XLA's
+    32.5% (all three strategies, all tile sizes — conv_pallas_tiles
+    rows); at 32^2x384 XLA already runs at 90%; Cin > 256 would blow
+    the patch scratch past ~7 MB of VMEM."""
+    if len(x_shape) != 4:
+        return False
+    if tuple(kernel_size) != (3, 3) or tuple(strides) != (1, 1):
+        return False
+    if pad not in (None, 1):
+        return False
+    _, h, w, c = x_shape
+    return (h >= 64 and w >= 8 and h % 2 == 0 and w % 2 == 0
+            and 128 <= c <= 256)
+
+
+def conv3x3(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
+            variant: str | None = None, tile: int | None = None) -> jax.Array:
+    """3x3 stride-1 SAME conv, NHWC x HWIO -> NHWC. Differentiable.
+
+    ``variant``: ``im2col`` (tight patch), ``im2col_pad`` (lane-aligned
+    patch), or ``acc9`` (nine accumulating tap matmuls); ``None`` = the
+    measured silicon winner.
+    """
+    if bias is None:
+        bias = jnp.zeros((w.shape[-1],), x.dtype)
+    return _conv3x3(x, w, bias, variant or _DEFAULT_VARIANT, tile)

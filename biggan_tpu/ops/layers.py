@@ -118,6 +118,18 @@ class SNConv2D(nn.Module, _SNMixin):
         w = self._maybe_sn(w, self.use_sn, update_sn)
         ph = (kh - 1) // 2 if self.pad is None else self.pad
         pw = (kw - 1) // 2 if self.pad is None else self.pad
+        from biggan_tpu.kernels.conv_pallas import conv3x3, use_pallas_conv
+
+        if use_pallas_conv(x.shape, (kh, kw), (sh, sw), self.pad):
+            # 192-channel 64px-class stage: the Pallas im2col kernel beats
+            # XLA's conv emitter there (conv_probe r3d rows) with the bias
+            # fused; identical math, parity-tested.
+            bias = (self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+                    if self.use_bias else None)
+            return conv3x3(
+                x.astype(self.dtype), self._compute_weight(w),
+                None if bias is None else bias.astype(self.dtype))
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             self._compute_weight(w),
@@ -176,6 +188,17 @@ class SNConvTranspose2D(nn.Module, _SNMixin):
         sh, sw = _pair(self.strides)
         w = self.param("kernel", kernel_init, (kh, kw, x.shape[-1], self.features), jnp.float32)
         w = self._maybe_sn(w, self.use_sn, update_sn)
+        from biggan_tpu.kernels.deconv_pallas import deconv3x3s2, use_pallas_deconv
+
+        if use_pallas_deconv(x.shape, (kh, kw), (sh, sw)):
+            # Polyphase Pallas upsampler: same TF-grad scatter semantics
+            # (the kernel consumes the UNflipped w), bias fused.
+            bias = (self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+                    if self.use_bias else None)
+            return deconv3x3s2(
+                x.astype(self.dtype), self._compute_weight(w),
+                None if bias is None else bias.astype(self.dtype))
         # TF's conv2d_transpose is the *gradient* of conv (spatially flipped
         # kernel); lax.conv_transpose convolves unflipped. Flip here so
         # outputs — and imported reference checkpoints — match TF exactly

@@ -46,10 +46,12 @@ def _split_variables(variables):
 
 def build_models(cfg: GANConfig):
     from biggan_tpu import enable_compilation_cache
+    from biggan_tpu.kernels.conv_pallas import set_conv_impl
     from biggan_tpu.ops.sn import set_sn_impl
 
     enable_compilation_cache()
     set_sn_impl(cfg.sn_impl)
+    set_conv_impl(cfg.conv_impl)
     dtype = jnp.dtype(cfg.compute_dtype)
     if cfg.norm_bwd not in ("pinned", "ref"):
         raise ValueError(f"norm_bwd must be 'pinned' or 'ref', got {cfg.norm_bwd!r}")
