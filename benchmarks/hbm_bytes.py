@@ -56,6 +56,11 @@ VARIANTS = {
     "conv_xla": {"conv_impl": "xla"},
     "conv_xla_b256": {"conv_impl": "xla", "n_critic": 2, "batch_size": 256},
     "ncritic2_b256_pconv": {"n_critic": 2, "batch_size": 256},
+    # labeled DEVIATION config for the >=2000 img/s/chip target on v5e
+    # (BASELINE's north star names a TPU v4, where the faithful ch=96
+    # preset is already past the bar by roofline; v5e's MXU peak caps the
+    # faithful config at ~1757): half-width channels, same architecture.
+    "dev_ch64_b256": {"ch": 64, "n_critic": 2, "batch_size": 256},
     # grad-accum amortization of the batch-independent pool: per-chip
     # virtual batches toward the paper's global 2048 (micro stays 256)
     "ga2_b512": {"batch_size": 512, "grad_accum": 2},

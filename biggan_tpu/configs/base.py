@@ -41,9 +41,10 @@ class GANConfig:
     # power-iteration impl: "auto" = fused Pallas kernel on TPU (2.7× faster
     # train step, see BENCH notes), XLA elsewhere; or force "xla"/"pallas".
     sn_impl: str = "auto"
-    # 3x3 stride-1 conv impl for the thin-channel >=64px stages: "auto" =
-    # Pallas kernel on TPU (XLA's emitter measures 32% MXU at 128^2x96,
-    # conv_probe), XLA elsewhere; or force "xla"/"pallas".
+    # conv/deconv impl: "auto" = XLA everywhere (Pallas conv kernels win
+    # their shapes in isolation but measured a 7% full-step REGRESSION —
+    # they forfeit XLA's conv+cBN-moment epilogue fusions; BENCH_NOTES
+    # r3d). "pallas" forces the kernels on their supported shape classes.
     conv_impl: str = "auto"
 
     # --- loss / optimization (ref main.py flags) ---

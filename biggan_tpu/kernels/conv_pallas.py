@@ -37,9 +37,22 @@ over B*H*W, a shape XLA tiles at high occupancy). Wired via
 ``jax.custom_vjp``.
 
 Used by :class:`biggan_tpu.ops.layers.SNConv2D` when ``conv_impl`` is
-``"pallas"`` (auto-gated to TPU + supported shapes). Reference op:
-``conv`` (ref ops.py:~40-75) — semantics unchanged, parity-tested in
+forced to ``"pallas"`` (supported shapes only; the default stays XLA —
+see the in-step verdict on the selector below). Reference op: ``conv``
+(ref ops.py:~40-75) — semantics unchanged, parity-tested in
 tests/test_kernels.py.
+
+Multi-chip note (applies to every Pallas kernel here, attention/SN
+included): under jit-over-Mesh, GSPMD has no partitioning rule for a
+Mosaic custom call, so on a real multi-chip mesh XLA falls back to
+replicating its operands instead of running it batch-sharded. All these
+kernels are embarrassingly batch-parallel (dim 0), so the fix — wrapping
+the call in ``shard_map``/``custom_partitioning`` along the data axis —
+is mechanical, but it is UNVERIFIABLE in this environment (one real
+chip; the CPU mesh runs the kernels in interpret mode where they are
+ordinary partitionable ops). Flagged in NEXT.md for the first session
+with real multi-chip hardware; single-chip behavior (the bench path) is
+unaffected.
 """
 
 from __future__ import annotations
@@ -55,9 +68,13 @@ LANE = 128
 
 # Implementation selector, set once per model build from
 # ``GANConfig.conv_impl`` (same pattern as ``ops.sn.set_sn_impl``):
-# "auto" = this kernel on TPU for supported()+winning shapes, XLA
-# elsewhere; "xla"/"pallas" force. Algorithm selection only — both paths
-# are parity-tested in tests/test_kernels.py.
+# "auto" = XLA (measured: although these kernels win their shapes in
+# isolation, routing them in the full train step REGRESSES it 7% at b32
+# — 78.7 vs 73.5 ms device time — because the convs they displace carry
+# XLA's fused cBN-moment epilogues, the same failure mode as the r3
+# fused-QKV experiment; docs/bench/r3d/step_ab.jsonl). "pallas" forces
+# the kernels on their supported() shapes. Both paths are parity-tested
+# in tests/test_kernels.py.
 _DEFAULT_IMPL = "auto"
 # The in-kernel strategy "auto" uses — the silicon A/B winner
 # (benchmarks/conv_probe.py p_* rows; see BENCH_NOTES round 3c).
@@ -77,12 +94,12 @@ def get_conv_impl() -> str:
 
 
 def use_pallas_conv(x_shape, kernel_size, strides, pad) -> bool:
-    """Should SNConv2D route this conv through the Pallas kernel?"""
-    if _DEFAULT_IMPL == "xla":
+    """Should SNConv2D route this conv through the Pallas kernel?
+    Only when forced: the in-step A/B measured the auto-routing a 7%
+    regression (see module selector comment)."""
+    if _DEFAULT_IMPL != "pallas":
         return False
-    if not supported(x_shape, kernel_size, strides, pad):
-        return False
-    return _DEFAULT_IMPL == "pallas" or jax.default_backend() == "tpu"
+    return supported(x_shape, kernel_size, strides, pad)
 
 
 def _interpret() -> bool:

@@ -193,15 +193,14 @@ _deconv3x3s2.defvjp(_deconv_fwd, _deconv_bwd)
 
 def use_pallas_deconv(x_shape, kernel_size, strides) -> bool:
     """Should SNConvTranspose2D route through this kernel? Follows the
-    shared ``conv_impl`` selector (set_conv_impl in conv_pallas)."""
+    shared ``conv_impl`` selector (set_conv_impl in conv_pallas): only
+    when forced — the in-step A/B measured auto-routing a 7% regression
+    (fused-epilogue forfeit; conv_pallas selector comment)."""
     from biggan_tpu.kernels.conv_pallas import get_conv_impl
 
-    impl = get_conv_impl()
-    if impl == "xla":
+    if get_conv_impl() != "pallas":
         return False
-    if not supported(x_shape, kernel_size, strides):
-        return False
-    return impl == "pallas" or jax.default_backend() == "tpu"
+    return supported(x_shape, kernel_size, strides)
 
 
 def supported(x_shape, kernel_size, strides) -> bool:

@@ -121,9 +121,9 @@ class SNConv2D(nn.Module, _SNMixin):
         from biggan_tpu.kernels.conv_pallas import conv3x3, use_pallas_conv
 
         if use_pallas_conv(x.shape, (kh, kw), (sh, sw), self.pad):
-            # 192-channel 64px-class stage: the Pallas im2col kernel beats
-            # XLA's conv emitter there (conv_probe r3d rows) with the bias
-            # fused; identical math, parity-tested.
+            # conv_impl="pallas" only: the im2col kernel wins this shape
+            # class in isolation but forfeits XLA's epilogue fusions
+            # in-step (BENCH_NOTES r3d); identical math, parity-tested.
             bias = (self.param("bias", nn.initializers.zeros,
                                (self.features,), jnp.float32)
                     if self.use_bias else None)
