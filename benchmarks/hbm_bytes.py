@@ -61,6 +61,7 @@ VARIANTS = {
     # preset is already past the bar by roofline; v5e's MXU peak caps the
     # faithful config at ~1757): half-width channels, same architecture.
     "dev_ch64_b256": {"ch": 64, "n_critic": 2, "batch_size": 256},
+    "dev_ch48_b256": {"ch": 48, "n_critic": 2, "batch_size": 256},
     # grad-accum amortization of the batch-independent pool: per-chip
     # virtual batches toward the paper's global 2048 (micro stays 256)
     "ga2_b512": {"batch_size": 512, "grad_accum": 2},
