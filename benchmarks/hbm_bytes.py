@@ -51,17 +51,36 @@ VARIANTS = {
     "bf16_mu_b256": {"adam_mu_dtype": "bfloat16", "batch_size": 256},
     "ncritic2": {"n_critic": 2},
     "ncritic2_b256": {"n_critic": 2, "batch_size": 256},
-    # r3d: Pallas conv/deconv kernels for the measured-win shape classes
-    # (conv_impl default "auto" routes them on TPU; "xla" is the A/B off)
+    # r3d: Pallas conv/deconv kernels for the measured-win shape classes.
+    # "auto" means XLA everywhere (use_pallas_conv returns False unless
+    # impl == "pallas"); "pallas" is the A/B on-switch, so the pconv
+    # variant must set it explicitly. "conv_xla" rows are kept as the
+    # explicit-off spelling even though they equal base.
     "conv_xla": {"conv_impl": "xla"},
     "conv_xla_b256": {"conv_impl": "xla", "n_critic": 2, "batch_size": 256},
-    "ncritic2_b256_pconv": {"n_critic": 2, "batch_size": 256},
+    "ncritic2_b256_pconv": {"conv_impl": "pallas", "n_critic": 2,
+                            "batch_size": 256},
     # labeled DEVIATION config for the >=2000 img/s/chip target on v5e
     # (BASELINE's north star names a TPU v4, where the faithful ch=96
     # preset is already past the bar by roofline; v5e's MXU peak caps the
     # faithful config at ~1757): half-width channels, same architecture.
     "dev_ch64_b256": {"ch": 64, "n_critic": 2, "batch_size": 256},
     "dev_ch48_b256": {"ch": 48, "n_critic": 2, "batch_size": 256},
+    # r4: deviation-config decision rows (VERDICT r3 missing #5): ch=64
+    # alone, plus the paper-faithful d_norm=False (+1.8% measured r3) and
+    # bf16 Adam moments stacked on top
+    "dev_ch64_nodnorm": {"ch": 64, "n_critic": 2, "batch_size": 256,
+                         "d_norm": False},
+    "dev_ch64_full": {"ch": 64, "n_critic": 2, "batch_size": 256,
+                      "d_norm": False, "adam_mu_dtype": "bfloat16"},
+    # r4: remat A/B at the 256px preset on the real meter (the r2 byte
+    # model said remat loses at 128px; the 256 preset ships with it on)
+    "p256_b64_noremat": {"img_size": 256, "batch_size": 64, "remat": False,
+                         "z_dim": 140},
+    "p256_b64_n2_noremat": {"img_size": 256, "batch_size": 64, "remat": False,
+                            "n_critic": 2, "z_dim": 140},
+    "p512_b16_n2": {"img_size": 512, "batch_size": 16, "remat": True,
+                    "n_critic": 2, "z_dim": 160},
     # grad-accum amortization of the batch-independent pool: per-chip
     # virtual batches toward the paper's global 2048 (micro stays 256)
     "ga2_b512": {"batch_size": 512, "grad_accum": 2},

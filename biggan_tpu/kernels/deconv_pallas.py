@@ -154,19 +154,44 @@ def _xla_ref(x, w):
         preferred_element_type=x.dtype)
 
 
-def _run(x, w, bias, tile):
+def _run_local(x, w, bias, tile):
     b, h, w_sp, c = x.shape
     co = w.shape[-1]
     # lead-pad H by 1 (x[m-1] at m=0) plus one tail row for the halo spec
     xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
     wp = _pack_weights(w, x.dtype)
-    t = tile or _pick_tile(h, w_sp)
     # 0/1 column-interleave selectors: S_px[2n+px, n] = 1
     eye = jnp.eye(w_sp, dtype=x.dtype)
     sel = jnp.zeros((2, 2 * w_sp, w_sp), x.dtype)
     sel = sel.at[0, 0::2, :].set(eye).at[1, 1::2, :].set(eye)
     return _deconv_call(xp, wp, bias.reshape(1, co).astype(x.dtype), sel,
-                        tile=t)
+                        tile=tile)
+
+
+# Multi-chip: batch-dim partitioning rule (kernels/partition.py) — the
+# batch grid axis shards along the data axis; weights/bias replicate.
+@functools.lru_cache(maxsize=None)
+def _run_partitioned(tile):
+    from biggan_tpu.kernels.partition import batch_partitioned
+
+    return batch_partitioned(
+        lambda x, w, bias: _run_local(x, w, bias, tile),
+        rule="b h w c, kh kw c co, co -> b hh ww co",
+        replicated=("h", "w", "c", "kh", "kw", "co", "hh", "ww"),
+        arg_batch_dims=(0, None, None),
+        out_batch_dims=(0,),
+    )
+
+
+def _run(x, w, bias, tile):
+    h, w_sp = x.shape[1], x.shape[2]
+    t = tile or _pick_tile(h, w_sp)
+    # same contract _pick_tile guarantees: the halo index map assumes an
+    # even tile, and a non-divisor of H floors the grid (rows unwritten)
+    if t % 2 != 0 or h % t != 0:
+        raise ValueError(
+            f"tile must be even and divide H: got tile={t}, H={h}")
+    return _run_partitioned(t)(x, w, bias)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -204,11 +229,14 @@ def use_pallas_deconv(x_shape, kernel_size, strides) -> bool:
 
 
 def supported(x_shape, kernel_size, strides) -> bool:
-    """Gate: k=3 s=2 on the measured-win class only (conv_probe r3d
-    rows): 32^2 x 256..512-channel inputs (up64: 0.433 vs XLA 0.479 ms).
-    The 64^2 x 192 -> 128^2 deconv LOSES here (0.978 vs 0.854 — the
-    selection matmuls + patch build outweigh the polyphase gain at thin
-    output channels), so XLA keeps it."""
+    """Gate: k=3 s=2 on the measured-win class (conv_probe r3d rows):
+    32^2 x 384 (up64: 0.433 vs XLA 0.479 ms). The admitted band is wider
+    than the evidence — 16^2 inputs and the 256/512 channel edges are
+    EXTRAPOLATED from the 32^2 x 384 measurement, not probed (ADVICE r3);
+    run a conv_probe row before relying on them. The 64^2 x 192 -> 128^2
+    deconv LOSES here (0.978 vs 0.854 — the selection matmuls + patch
+    build outweigh the polyphase gain at thin output channels), so XLA
+    keeps it."""
     if len(x_shape) != 4:
         return False
     if tuple(kernel_size) != (3, 3) or tuple(strides) != (2, 2):

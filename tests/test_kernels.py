@@ -186,7 +186,7 @@ class TestPallasConv3x3:
 
     def test_layer_routes_through_pallas(self, rng):
         """SNConv2D output is impl-invariant on a supported shape."""
-        from biggan_tpu.kernels.conv_pallas import set_conv_impl
+        from biggan_tpu.kernels.conv_pallas import set_conv_impl, use_pallas_conv
         from biggan_tpu.ops.layers import SNConv2D
 
         x = jax.random.normal(rng, (1, 64, 8, 128))
@@ -194,8 +194,12 @@ class TestPallasConv3x3:
         params = layer.init(jax.random.PRNGKey(0), x)
         try:
             set_conv_impl("pallas")
+            # guard against vacuity: the shape must actually route through
+            # the kernel while impl is forced (ADVICE r3)
+            assert use_pallas_conv(x.shape, (3, 3), (1, 1), None)
             y_pallas = layer.apply(params, x)
             set_conv_impl("xla")
+            assert not use_pallas_conv(x.shape, (3, 3), (1, 1), None)
             y_xla = layer.apply(params, x)
         finally:
             set_conv_impl("auto")
@@ -244,6 +248,7 @@ class TestPallasDeconv:
     def test_layer_routes_through_pallas(self, rng):
         """SNConvTranspose2D output is impl-invariant on a supported shape."""
         from biggan_tpu.kernels.conv_pallas import set_conv_impl
+        from biggan_tpu.kernels.deconv_pallas import use_pallas_deconv
         from biggan_tpu.ops.layers import SNConvTranspose2D
 
         x = jax.random.normal(rng, (1, 32, 8, 256))
@@ -251,8 +256,12 @@ class TestPallasDeconv:
         params = layer.init(jax.random.PRNGKey(0), x)
         try:
             set_conv_impl("pallas")
+            # guard against vacuity: the shape must actually route through
+            # the kernel while impl is forced (ADVICE r3)
+            assert use_pallas_deconv(x.shape, (3, 3), (2, 2))
             y_pallas = layer.apply(params, x)
             set_conv_impl("xla")
+            assert not use_pallas_deconv(x.shape, (3, 3), (2, 2))
             y_xla = layer.apply(params, x)
         finally:
             set_conv_impl("auto")
