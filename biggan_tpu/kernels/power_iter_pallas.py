@@ -81,12 +81,10 @@ def _pick_block_rows(n_in: int, n_out: int) -> int:
     return 0
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _power_iter_call(w_mat: jax.Array, u: jax.Array):
+def _power_iter_local(w_mat: jax.Array, u2: jax.Array):
     n_in, n_out = w_mat.shape
     block_rows = _pick_block_rows(n_in, n_out)
-    u2 = u.reshape(1, n_out)
-    sigma, u_new = pl.pallas_call(
+    return pl.pallas_call(
         _kernel,
         grid=(n_in // block_rows,),
         in_specs=[
@@ -112,6 +110,36 @@ def _power_iter_call(w_mat: jax.Array, u: jax.Array):
         ),
         interpret=_interpret(),
     )(w_mat, u2)
+
+
+# Multi-chip: unlike the activation kernels there is no batch axis here —
+# W is replicated under data parallelism, so the correct SPMD rule is
+# "replicate everything" (each chip runs the same single-sweep kernel on
+# its weight replica; under tensor parallelism the partitioner inserts
+# the W all-gather this rule demands). Registering it explicitly closes
+# the no-GSPMD-rule hole for Mosaic custom calls (kernels/partition.py).
+_power_iter_partitioned = None
+
+
+def _get_power_iter_partitioned():
+    global _power_iter_partitioned
+    if _power_iter_partitioned is None:
+        from biggan_tpu.kernels.partition import batch_partitioned
+
+        _power_iter_partitioned = batch_partitioned(
+            _power_iter_local,
+            rule="i o, a o -> c d, e o",
+            replicated=("i", "o", "a", "c", "d", "e"),
+            arg_batch_dims=(None, None),
+            out_batch_dims=(None, None),
+        )
+    return _power_iter_partitioned
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _power_iter_call(w_mat: jax.Array, u: jax.Array):
+    n_out = w_mat.shape[1]
+    sigma, u_new = _get_power_iter_partitioned()(w_mat, u.reshape(1, n_out))
     return sigma[0, 0], u_new.reshape(n_out)
 
 
