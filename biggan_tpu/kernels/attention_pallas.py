@@ -35,9 +35,47 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# Probe knobs (benchmarks/attn_probe.py): override the auto block size
+# and/or select the kernel variant. "v2" folds the softmax normalization
+# out of the [block_n, m] score tile — the VPU-bound axis of this kernel
+# (the matmuls are small: d = C/8 ≤ 24 at the flagship) — into the
+# [block_n, dv]/[block_n, d] outputs, which are 10–80× narrower:
+#   fwd: o = (exp(s−max)·v) · 1/denom       (one fewer [bn,m] pass)
+#   bwd: ds' = p̃·(dp − deltã/denom) with the 1/denom folded into the
+#        SMALL matmul operands (q/denom, do/denom, post-scale of dq) —
+#        two fewer [bn,m] passes than v1.
+# Both variants compute identical math (exact scaling reorder); v1 kept
+# for the silicon A/B. Default "v2" per the r4 isolation sweep
+# (docs/bench/r4/attn_probe.jsonl): at block 1024, v2 fwd+bwd measures
+# 10.13/9.89 ms (G/D shapes) vs v1's 10.50/10.26 — ~3.6% better, and
+# ~8% vs the r3 default (v1 @ block 512).
+_BLOCK_N_OVERRIDE: int | None = None
+_VARIANT = "v2"
+
+
+def set_attn_tuning(block_n: int | None = None, variant: str | None = None):
+    """Probe-only tuning; returns the previous (block_n, variant)."""
+    global _BLOCK_N_OVERRIDE, _VARIANT
+    prev = (_BLOCK_N_OVERRIDE, _VARIANT)
+    _BLOCK_N_OVERRIDE = block_n
+    if variant is not None:
+        if variant not in ("v1", "v2"):
+            raise ValueError(f"variant must be 'v1' or 'v2', got {variant!r}")
+        _VARIANT = variant
+    return prev
+
+
 def _pick_block_n(n: int, m: int) -> int:
-    # keep the per-block f32 score tile (block_n × m) ≲ 4 MB of VMEM
-    for bn in (512, 256, 128, 64, 32, 16, 8):
+    if _BLOCK_N_OVERRIDE is not None:
+        if n % _BLOCK_N_OVERRIDE == 0:
+            return _BLOCK_N_OVERRIDE
+        return 0
+    # keep the per-block f32 score tile (block_n × m) ≲ 4 MB of VMEM.
+    # Largest first: the r4 silicon sweep (benchmarks/attn_probe.py,
+    # docs/bench/r4/attn_probe.jsonl) measured block 1024 fastest at both
+    # flagship shapes (fwd+bwd 10.1 vs 11.0 ms at block 512, the previous
+    # pick) — fewer grid passes amortize the k/v-resident loads.
+    for bn in (1024, 512, 256, 128, 64, 32, 16, 8):
         if n % bn == 0 and bn * m * 4 <= 4 * 1024 * 1024:
             return bn
     return 0  # no valid tiling → caller falls back to XLA
@@ -102,12 +140,73 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
         dv_ref[0] += dv_i
 
 
+def _fwd_kernel_v2(q_ref, k_ref, v_ref, o_ref):
+    # normalization folded out of the [bn, m] tile: Σ and the division
+    # land on the [bn, dv] output (dv = C/2 ≤ 96 vs m up to 4096)
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bn, m] f32
+    p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))  # unnormalized
+    denom = jnp.sum(p, axis=-1, keepdims=True)  # [bn, 1]
+    o = jnp.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+    )
+    o_ref[0] = (o / denom).astype(o_ref.dtype)
+
+
+def _bwd_kernel_v2(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
+    i = pl.program_id(1)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    in_dt = q.dtype
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))  # p̃ [bn, m] f32
+    denom = jnp.sum(p, axis=-1, keepdims=True)           # [bn, 1]
+    recip = 1.0 / denom
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bn, m]
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True) * recip  # normalized
+    ds = (p * (dp - delta)).astype(in_dt)  # = denom · ds_true [bn, m]
+
+    # fold 1/denom into the NARROW operands: dq rows, q rows, do rows
+    dq_ref[0] = (
+        jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) * recip
+    ).astype(dq_ref.dtype)
+
+    q_scaled = (q * recip).astype(in_dt)    # [bn, d] pass (d ≤ 24)
+    do_scaled = (do * recip).astype(in_dt)  # [bn, dv] pass (dv ≤ 96)
+    dk_i = jax.lax.dot_general(
+        ds, q_scaled, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [m, d]
+    dv_i = jax.lax.dot_general(
+        p.astype(in_dt), do_scaled, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [m, dv]
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[0] = dk_i
+        dv_ref[0] = dv_i
+
+    @pl.when(i > 0)
+    def _():
+        dk_ref[0] += dk_i
+        dv_ref[0] += dv_i
+
+
 def _fwd_call(q, k, v, block_n):
     b, n, d = q.shape
     m, dv = k.shape[1], v.shape[2]
     grid = (b, n // block_n)
     return pl.pallas_call(
-        _fwd_kernel,
+        _fwd_kernel_v2 if _VARIANT == "v2" else _fwd_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_n, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
@@ -132,7 +231,7 @@ def _bwd_call(q, k, v, do, block_n):
     m, dv = k.shape[1], v.shape[2]
     grid = (b, n // block_n)
     dq, dk, dv_ = pl.pallas_call(
-        _bwd_kernel,
+        _bwd_kernel_v2 if _VARIANT == "v2" else _bwd_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_n, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
@@ -155,18 +254,51 @@ def _bwd_call(q, k, v, do, block_n):
     return dq, dk.astype(k.dtype), dv_.astype(v.dtype)
 
 
+# Multi-chip: GSPMD has no rule for a Mosaic custom call, so without a
+# wrapper a mesh run would all-gather the batch-sharded q/k/v and run the
+# kernel replicated (VERDICT r3 missing #2). The batch grid dim is
+# embarrassingly parallel; these wrappers declare exactly that (token/
+# feature dims need_replication) and lower each shard as the same kernel
+# on its local batch. Cached per block_n: the wrapper identity must be
+# stable across jit retraces or XLA sees a new custom call each time.
+@functools.lru_cache(maxsize=None)
+def _fwd_partitioned(block_n):
+    from biggan_tpu.kernels.partition import batch_partitioned
+
+    return batch_partitioned(
+        lambda q, k, v: _fwd_call(q, k, v, block_n),
+        rule="b n d, b m d, b m dv -> b n dv",
+        replicated=("n", "d", "m", "dv"),
+        arg_batch_dims=(0, 0, 0),
+        out_batch_dims=(0,),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_partitioned(block_n):
+    from biggan_tpu.kernels.partition import batch_partitioned
+
+    return batch_partitioned(
+        lambda q, k, v, do: _bwd_call(q, k, v, do, block_n),
+        rule="b n d, b m d, b m dv, b n dv -> b n d, b m d, b m dv",
+        replicated=("n", "d", "m", "dv"),
+        arg_batch_dims=(0, 0, 0, 0),
+        out_batch_dims=(0, 0, 0),
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash_attention(q, k, v, block_n):
-    return _fwd_call(q, k, v, block_n)
+    return _fwd_partitioned(block_n)(q, k, v)
 
 
 def _flash_fwd(q, k, v, block_n):
-    return _fwd_call(q, k, v, block_n), (q, k, v)
+    return _fwd_partitioned(block_n)(q, k, v), (q, k, v)
 
 
 def _flash_bwd(block_n, res, g):
     q, k, v = res
-    return _bwd_call(q, k, v, g, block_n)
+    return _bwd_partitioned(block_n)(q, k, v, g)
 
 
 _flash_attention.defvjp(_flash_fwd, _flash_bwd)
