@@ -10,7 +10,20 @@ conv routing, BENCH_NOTES r3d).
 This is a FORWARD-ONLY prototype probed in isolation, as the verdict
 prescribes: if the fused chain does not clearly beat the XLA chain here,
 the (large) custom-VJP investment is not made and the lever is recorded
-as exhausted. The kernel extends ``deconv_pallas._kernel``:
+as exhausted.
+
+**VERDICT (r4, measured on the v5 lite device trace —
+docs/bench/r4/fusedblock.jsonl): the lever is EXHAUSTED.** The fused
+kernel loses ~2× to the XLA chain at BOTH flagship stages:
+up64 384→192 fused 5.47 ms vs XLA 3.35 (0.61×); up128 192→96 fused
+11.08 vs 5.66 (0.51×). XLA already fuses the cBN-apply+ReLU prologue
+into the deconv read and the moment epilogue into its write, and its
+deconv emitter beats the polyphase kernel once that fusion parity is
+reached — the same conclusion as the r3d standalone-conv routing, now
+established for the full fused chain as well. No custom VJP is built;
+the kernel below stays as the archived experiment.
+
+The kernel extends ``deconv_pallas._kernel``:
 
 - prologue: slab rows are transformed ``relu((x−μ)·rsqrt(σ²+ε)·γ_b+β_b)``
   at store time (γ/β are per-sample rows — cBN); the H-pad rows that

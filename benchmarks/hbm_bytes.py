@@ -73,6 +73,8 @@ VARIANTS = {
                          "d_norm": False},
     "dev_ch64_full": {"ch": 64, "n_critic": 2, "batch_size": 256,
                       "d_norm": False, "adam_mu_dtype": "bfloat16"},
+    "dev_ch48_nodnorm": {"ch": 48, "n_critic": 2, "batch_size": 256,
+                         "d_norm": False},
     # r4: remat A/B at the 256px preset on the real meter (the r2 byte
     # model said remat loses at 128px; the 256 preset ships with it on)
     "p256_b64_noremat": {"img_size": 256, "batch_size": 64, "remat": False,
