@@ -192,6 +192,22 @@ _PRESETS = {
         dataset="imagenet", img_size=512, ch=96, z_dim=160, num_classes=1000,
         batch_size=256, remat=True, mesh_shape=(-1, 1),
     ),
+    # LABELED DEVIATION (not a BASELINE config): the ≥2,000 img/s/chip
+    # north-star bar on a TPU v5e. The reference-faithful ch=96 flagship
+    # is capped by the v5e MXU peak (~1,757 roofline; 867 measured r4);
+    # this preset deviates on exactly two axes and clears the bar on real
+    # silicon — 2,004.2 img/s measured on the device trace
+    # (docs/bench/r4/dev_ch48.jsonl):
+    #   * ch=48 — half the paper's channel width (smaller model);
+    #   * d_norm=False — SN-only D, which is the PAPER's discriminator
+    #     (BN-in-D is the reference fork's own deviation).
+    # Same architecture family, losses, EMA, truncation, and data path;
+    # on the north star's own TPU v4 the faithful biggan128_paper preset
+    # already clears the bar by roofline (BENCH_NOTES r3).
+    "biggan128_v5e_fast": GANConfig(
+        dataset="imagenet", img_size=128, ch=48, z_dim=120, num_classes=1000,
+        n_critic=2, batch_size=512, grad_accum=1, d_norm=False,
+    ),
 }
 
 
