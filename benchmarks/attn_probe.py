@@ -53,7 +53,11 @@ def probe_one(shape_name, variant, block_n, steps):
     k = jnp.asarray(rng.randn(b, m, d), jnp.bfloat16)
     v = jnp.asarray(rng.randn(b, m, dv), jnp.bfloat16)
 
-    prev = set_attn_tuning(block_n=block_n, variant=variant)
+    # "v2b" = v2 with the bf16 score-tile deviation
+    score_dtype = "bfloat16" if variant == "v2b" else "float32"
+    prev = set_attn_tuning(
+        block_n=block_n, variant="v2" if variant == "v2b" else variant,
+        score_dtype=score_dtype)
     try:
         def attn_fwd(q, k, v):
             return flash_attention(q, k, v)

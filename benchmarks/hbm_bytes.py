@@ -75,6 +75,12 @@ VARIANTS = {
                       "d_norm": False, "adam_mu_dtype": "bfloat16"},
     "dev_ch48_nodnorm": {"ch": 48, "n_critic": 2, "batch_size": 256,
                          "d_norm": False},
+    # bf16 score-tile attention (labeled numerics deviation) on the
+    # faithful flagship and stacked on the v5e_fast deviation shape
+    "attn_bf16_n2_b256": {"attn_score_dtype": "bfloat16", "n_critic": 2,
+                          "batch_size": 256},
+    "dev_ch48_full": {"ch": 48, "n_critic": 2, "batch_size": 256,
+                      "d_norm": False, "attn_score_dtype": "bfloat16"},
     # r4: remat A/B at the 256px preset on the real meter (the r2 byte
     # model said remat loses at 128px; the 256 preset ships with it on)
     "p256_b64_noremat": {"img_size": 256, "batch_size": 64, "remat": False,

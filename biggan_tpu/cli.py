@@ -76,6 +76,10 @@ def parse_args(argv=None) -> GANConfig:
                         choices=["auto", "xla", "pallas"])
     parser.add_argument("--conv_impl", type=str, default=None,
                         choices=["auto", "xla", "pallas"])
+    parser.add_argument("--attn_score_dtype", type=str, default=None,
+                        choices=["float32", "bfloat16"],
+                        help="Pallas attention score-tile dtype; bfloat16 "
+                             "is a labeled numerics deviation")
     parser.add_argument("--remat", type=str2bool, default=None)
     parser.add_argument("--materialize_weights", type=str2bool, default=None,
                         help="materialize bf16-cast kernels in HBM (halves the "

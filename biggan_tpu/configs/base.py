@@ -46,6 +46,12 @@ class GANConfig:
     # they forfeit XLA's conv+cBN-moment epilogue fusions; BENCH_NOTES
     # r3d). "pallas" forces the kernels on their supported shape classes.
     conv_impl: str = "auto"
+    # Score-tile dtype of the Pallas attention kernel. "float32" (default)
+    # matches the XLA path exactly; "bfloat16" halves the VMEM traffic of
+    # the VPU-bound [block_n, m] tiles — a LABELED NUMERICS DEVIATION
+    # (softmax weights carry ~1e-2 relative error). Opt-in only; never
+    # selected by "auto" anything.
+    attn_score_dtype: str = "float32"
 
     # --- loss / optimization (ref main.py flags) ---
     gan_type: str = "hinge"
@@ -127,6 +133,10 @@ class GANConfig:
     def __post_init__(self):
         if self.phase not in ("train", "test", "eval", "sweep"):
             raise ValueError(f"phase must be train|test|eval|sweep, got {self.phase!r}")
+        if self.attn_score_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                "attn_score_dtype must be float32|bfloat16, "
+                f"got {self.attn_score_dtype!r}")
         if self.batch_size % self.grad_accum != 0:
             raise ValueError("batch_size must be divisible by grad_accum")
         if self.img_size not in (32, 64, 128, 256, 512):

@@ -51,17 +51,30 @@ def _interpret() -> bool:
 # ~8% vs the r3 default (v1 @ block 512).
 _BLOCK_N_OVERRIDE: int | None = None
 _VARIANT = "v2"
+# Score-tile dtype for the v2 kernels. float32 = exact (the default and
+# the only setting whose math matches the XLA path bit-for-bit-ish).
+# bfloat16 halves the VMEM traffic of every [block_n, m] intermediate —
+# a LABELED NUMERICS DEVIATION (softmax weights carry ~3e-3 relative
+# error); exposed as GANConfig.attn_score_dtype, never "auto".
+_SCORE_DTYPE = jnp.float32
 
 
-def set_attn_tuning(block_n: int | None = None, variant: str | None = None):
-    """Probe-only tuning; returns the previous (block_n, variant)."""
-    global _BLOCK_N_OVERRIDE, _VARIANT
-    prev = (_BLOCK_N_OVERRIDE, _VARIANT)
+def set_attn_tuning(block_n: int | None = None, variant: str | None = None,
+                    score_dtype: str | None = None):
+    """Probe/config tuning; returns the previous (block_n, variant, dtype)."""
+    global _BLOCK_N_OVERRIDE, _VARIANT, _SCORE_DTYPE
+    prev = (_BLOCK_N_OVERRIDE, _VARIANT,
+            "bfloat16" if _SCORE_DTYPE == jnp.bfloat16 else "float32")
     _BLOCK_N_OVERRIDE = block_n
     if variant is not None:
         if variant not in ("v1", "v2"):
             raise ValueError(f"variant must be 'v1' or 'v2', got {variant!r}")
         _VARIANT = variant
+    if score_dtype is not None:
+        if score_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"score_dtype must be 'float32' or 'bfloat16', got {score_dtype!r}")
+        _SCORE_DTYPE = jnp.dtype(score_dtype)
     return prev
 
 
@@ -143,12 +156,13 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
 def _fwd_kernel_v2(q_ref, k_ref, v_ref, o_ref):
     # normalization folded out of the [bn, m] tile: Σ and the division
     # land on the [bn, dv] output (dv = C/2 ≤ 96 vs m up to 4096)
+    sd = _SCORE_DTYPE
     s = jax.lax.dot_general(
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [bn, m] f32
+    ).astype(sd)  # [bn, m] score tile (f32, or bf16 under the deviation)
     p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))  # unnormalized
-    denom = jnp.sum(p, axis=-1, keepdims=True)  # [bn, 1]
+    denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)  # [bn, 1]
     o = jnp.dot(
         p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
     )
@@ -160,18 +174,20 @@ def _bwd_kernel_v2(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
 
     q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
     in_dt = q.dtype
+    sd = _SCORE_DTYPE
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))  # p̃ [bn, m] f32
-    denom = jnp.sum(p, axis=-1, keepdims=True)           # [bn, 1]
+    ).astype(sd)
+    p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))  # p̃ [bn, m]
+    denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)  # [bn, 1]
     recip = 1.0 / denom
 
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [bn, m]
-    delta = jnp.sum(p * dp, axis=-1, keepdims=True) * recip  # normalized
+    ).astype(sd)  # [bn, m]
+    delta = (jnp.sum(p * dp, axis=-1, keepdims=True, dtype=jnp.float32)
+             * recip).astype(sd)  # normalized
     ds = (p * (dp - delta)).astype(in_dt)  # = denom · ds_true [bn, m]
 
     # fold 1/denom into the NARROW operands: dq rows, q rows, do rows

@@ -49,9 +49,12 @@ def build_models(cfg: GANConfig):
     from biggan_tpu.kernels.conv_pallas import set_conv_impl
     from biggan_tpu.ops.sn import set_sn_impl
 
+    from biggan_tpu.kernels.attention_pallas import set_attn_tuning
+
     enable_compilation_cache()
     set_sn_impl(cfg.sn_impl)
     set_conv_impl(cfg.conv_impl)
+    set_attn_tuning(score_dtype=cfg.attn_score_dtype)
     dtype = jnp.dtype(cfg.compute_dtype)
     if cfg.norm_bwd not in ("pinned", "ref"):
         raise ValueError(f"norm_bwd must be 'pinned' or 'ref', got {cfg.norm_bwd!r}")

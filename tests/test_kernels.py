@@ -69,6 +69,55 @@ class TestFlashAttention:
             flash_attention(q, k, v), attention_xla(q, k, v), rtol=1e-5, atol=1e-5
         )
 
+    def test_v1_variant_parity(self, rng):
+        """The archived v1 kernel (probe baseline) stays correct."""
+        from biggan_tpu.kernels.attention_pallas import set_attn_tuning
+
+        kq, kk, kv = jax.random.split(rng, 3)
+        q = jax.random.normal(kq, (1, 64, 8))
+        k = jax.random.normal(kk, (1, 16, 8))
+        v = jax.random.normal(kv, (1, 16, 16))
+        prev = set_attn_tuning(variant="v1")
+        try:
+            out = flash_attention(q, k, v)
+            g = jax.grad(lambda q: jnp.sum(flash_attention(q, k, v) ** 2))(q)
+        finally:
+            set_attn_tuning(*prev)
+        np.testing.assert_allclose(out, attention_xla(q, k, v), rtol=1e-5, atol=1e-5)
+        g_ref = jax.grad(lambda q: jnp.sum(attention_xla(q, k, v) ** 2))(q)
+        np.testing.assert_allclose(g, g_ref, rtol=1e-4, atol=1e-4)
+
+    def test_bf16_score_tile_deviation(self, rng):
+        """attn_score_dtype=bfloat16 (labeled deviation): close to the exact
+        path, finite gradients, and restores cleanly."""
+        from biggan_tpu.kernels.attention_pallas import set_attn_tuning
+
+        kq, kk, kv = jax.random.split(rng, 3)
+        q = jax.random.normal(kq, (1, 64, 8))
+        k = jax.random.normal(kk, (1, 16, 8))
+        v = jax.random.normal(kv, (1, 16, 16))
+        ref = attention_xla(q, k, v)
+        prev = set_attn_tuning(score_dtype="bfloat16")
+        try:
+            out = flash_attention(q, k, v)
+            g = jax.grad(lambda q: jnp.sum(flash_attention(q, k, v) ** 2))(q)
+        finally:
+            set_attn_tuning(*prev)
+        # bf16 softmax weights: ~1e-2 relative — loose but bounded
+        np.testing.assert_allclose(out, ref, rtol=5e-2, atol=5e-2)
+        assert bool(jnp.all(jnp.isfinite(g)))
+        # knob restored: exact again
+        np.testing.assert_allclose(
+            flash_attention(q, k, v), ref, rtol=1e-5, atol=1e-5)
+
+    def test_set_attn_tuning_validation(self):
+        from biggan_tpu.kernels.attention_pallas import set_attn_tuning
+
+        with pytest.raises(ValueError):
+            set_attn_tuning(variant="v3")
+        with pytest.raises(ValueError):
+            set_attn_tuning(score_dtype="fp8")
+
     def test_bfloat16(self, rng):
         q = jax.random.normal(rng, (1, 64, 8), jnp.bfloat16)
         k = jax.random.normal(rng, (1, 16, 8), jnp.bfloat16)
