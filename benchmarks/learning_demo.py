@@ -46,6 +46,11 @@ def main() -> int:
                     help="Adam first-moment dtype (learning-parity A/B)")
     ap.add_argument("--n-critic", type=int, default=None,
                     help="D updates per G update (headline config uses 2)")
+    ap.add_argument("--attn-score-dtype", type=str, default=None,
+                    choices=["float32", "bfloat16"],
+                    help="attention score-tile dtype (bf16 labeled-deviation "
+                         "learning-parity A/B; needs img-size>=64 so the "
+                         "model actually has attention)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend (smoke runs)")
     args = ap.parse_args()
 
@@ -77,6 +82,8 @@ def main() -> int:
             overrides["adam_mu_dtype"] = args.adam_mu
         if args.n_critic:
             overrides["n_critic"] = args.n_critic
+        if args.attn_score_dtype:
+            overrides["attn_score_dtype"] = args.attn_score_dtype
         cfg = get_config(
             "biggan32_cifar10",
             dataset=ds_name,

@@ -47,10 +47,13 @@ class GANConfig:
     # r3d). "pallas" forces the kernels on their supported shape classes.
     conv_impl: str = "auto"
     # Score-tile dtype of the Pallas attention kernel. "float32" (default)
-    # matches the XLA path exactly; "bfloat16" halves the VMEM traffic of
+    # matches the XLA path exactly; "bfloat16" halves the VMEM bytes of
     # the VPU-bound [block_n, m] tiles — a LABELED NUMERICS DEVIATION
-    # (softmax weights carry ~1e-2 relative error). Opt-in only; never
-    # selected by "auto" anything.
+    # (softmax weights carry ~1e-2 relative error worst-case). Opt-in
+    # only; never selected by "auto" anything — and measured SLOWER
+    # in-step on v5e silicon (r4: attention 74.6 → 86.2 ms; see
+    # kernels/attention_pallas.py), so it exists as the documented
+    # close-out of the idea, not a recommendation.
     attn_score_dtype: str = "float32"
 
     # --- loss / optimization (ref main.py flags) ---
