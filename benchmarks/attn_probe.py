@@ -44,7 +44,7 @@ def probe_one(shape_name, variant, block_n, steps):
     import numpy as np
 
     from biggan_tpu.kernels.attention_pallas import (
-        flash_attention, set_attn_tuning,
+        _pick_block_n, flash_attention, set_attn_tuning,
     )
 
     b, n, d, m, dv = SHAPES[shape_name]
@@ -59,6 +59,14 @@ def probe_one(shape_name, variant, block_n, steps):
         block_n=block_n, variant="v2" if variant == "v2b" else variant,
         score_dtype=score_dtype)
     try:
+        # A block that doesn't tile this shape makes flash_attention fall
+        # back to XLA — refuse to emit a row that would label an XLA
+        # timing as a (variant, block) kernel measurement.
+        if _pick_block_n(n, m) == 0:
+            return {"shape": shape_name, "variant": variant,
+                    "block_n": block_n,
+                    "error": f"block {block_n} does not tile n={n}, m={m} "
+                             "(kernel would fall back to XLA)"}
         def attn_fwd(q, k, v):
             return flash_attention(q, k, v)
 

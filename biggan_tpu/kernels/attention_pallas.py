@@ -53,19 +53,36 @@ _BLOCK_N_OVERRIDE: int | None = None
 _VARIANT = "v2"
 # Score-tile dtype for the v2 kernels. float32 = exact (the default and
 # the only setting whose math matches the XLA path bit-for-bit-ish).
-# bfloat16 halves the VMEM traffic of every [block_n, m] intermediate —
-# a LABELED NUMERICS DEVIATION (softmax weights carry ~3e-3 relative
-# error); exposed as GANConfig.attn_score_dtype, never "auto".
+# bfloat16 halves the VMEM bytes of every [block_n, m] intermediate —
+# a LABELED NUMERICS DEVIATION (softmax weights carry ~1e-2 relative
+# error worst-case); exposed as GANConfig.attn_score_dtype, never
+# "auto". Silicon verdict (r4, docs/bench/r4/attn_bf16.jsonl): a
+# MEASURED REGRESSION — the VPU runs the [bn, m] elementwise work at
+# f32 rate regardless and the narrower tiles add convert passes
+# (in-step attention group 74.6 → 86.2 ms; both flagship and ch=48
+# steps slower). Kept only as the documented close-out of the "bf16
+# score tile" idea; there is no configuration where it wins here.
 _SCORE_DTYPE = jnp.float32
 
 
-def set_attn_tuning(block_n: int | None = None, variant: str | None = None,
+_UNSET = object()  # "don't touch" default — None means "clear the override"
+
+
+def set_attn_tuning(block_n=_UNSET, variant: str | None = None,
                     score_dtype: str | None = None):
-    """Probe/config tuning; returns the previous (block_n, variant, dtype)."""
+    """Probe/config tuning; returns the previous (block_n, variant, dtype).
+
+    Each knob is only updated when explicitly passed (``block_n=None``
+    clears the override; omitting it leaves it alone), so a partial call
+    like ``set_attn_tuning(score_dtype=...)`` from ``build_models`` can't
+    silently wipe a block size a probe pinned earlier. The returned tuple
+    restores all three via ``set_attn_tuning(*prev)``.
+    """
     global _BLOCK_N_OVERRIDE, _VARIANT, _SCORE_DTYPE
     prev = (_BLOCK_N_OVERRIDE, _VARIANT,
             "bfloat16" if _SCORE_DTYPE == jnp.bfloat16 else "float32")
-    _BLOCK_N_OVERRIDE = block_n
+    if block_n is not _UNSET:
+        _BLOCK_N_OVERRIDE = block_n
     if variant is not None:
         if variant not in ("v1", "v2"):
             raise ValueError(f"variant must be 'v1' or 'v2', got {variant!r}")

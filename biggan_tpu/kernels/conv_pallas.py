@@ -48,8 +48,11 @@ this package now carries a ``custom_partitioning`` batch-dim rule
 batch grid axis along the data axis instead of GSPMD's replicate-
 operands fallback. Verified on the 8-device CPU mesh with interpret-mode
 kernels (tests/test_partition.py: no all-gather in the compiled HLO,
-numerics match single-device) and exercised by the driver dryrun with
-forced ``attn_impl/sn_impl/conv_impl="pallas"``.
+numerics match single-device). The driver dryrun additionally exercises
+the attention/SN rules inside the full sharded step (it forces
+``attn_impl/sn_impl="pallas"``; the conv/deconv kernels stay XLA there —
+at the dryrun's ch=16 no conv shape falls in this kernel's supported
+band — so their rules are covered by tests/test_partition.py only).
 """
 
 from __future__ import annotations

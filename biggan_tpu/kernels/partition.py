@@ -43,14 +43,20 @@ from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec
 
 
-def _batch_spec(shape_sharding, batch_dim):
-    """Normalize a NamedSharding to its batch-dim component only."""
+def _batch_spec(mesh, shape_sharding, batch_dim):
+    """Normalize a shard proposal to its batch-dim component only.
+
+    Always returns a NamedSharding over ``mesh``: a non-NamedSharding
+    proposal (e.g. a positional/GSPMD sharding under the legacy
+    partitioner) is normalized to REPLICATED rather than passed through
+    — passing it through unnormalized could hand the per-shard kernel an
+    operand split on a non-batch dim it cannot handle (partial dk/dv
+    sums with no psum). Replication is always correct; the partitioner
+    inserts the all-gather.
+    """
     sharding = shape_sharding.sharding
     if batch_dim is None or not isinstance(sharding, NamedSharding):
-        mesh = getattr(sharding, "mesh", None)
-        return (
-            NamedSharding(mesh, PartitionSpec()) if mesh is not None else sharding
-        )
+        return NamedSharding(mesh, PartitionSpec())
     spec = sharding.spec
     axis = spec[batch_dim] if len(spec) > batch_dim else None
     ndim = len(shape_sharding.shape)
@@ -74,12 +80,12 @@ def batch_partitioned(fun, rule, replicated, arg_batch_dims, out_batch_dims):
     def partition(mesh, arg_shapes, result_shape):
         flat_args, _ = jax.tree.flatten(arg_shapes)
         arg_shardings = tuple(
-            _batch_spec(s, d) for s, d in zip(flat_args, arg_batch_dims)
+            _batch_spec(mesh, s, d) for s, d in zip(flat_args, arg_batch_dims)
         )
         flat_res, res_tree = jax.tree.flatten(result_shape)
         result_shardings = jax.tree.unflatten(
             res_tree,
-            [_batch_spec(s, d) for s, d in zip(flat_res, out_batch_dims)],
+            [_batch_spec(mesh, s, d) for s, d in zip(flat_res, out_batch_dims)],
         )
         return mesh, fun, result_shardings, arg_shardings
 

@@ -118,22 +118,17 @@ def _power_iter_local(w_mat: jax.Array, u2: jax.Array):
 # its weight replica; under tensor parallelism the partitioner inserts
 # the W all-gather this rule demands). Registering it explicitly closes
 # the no-GSPMD-rule hole for Mosaic custom calls (kernels/partition.py).
-_power_iter_partitioned = None
-
-
+@functools.lru_cache(maxsize=None)
 def _get_power_iter_partitioned():
-    global _power_iter_partitioned
-    if _power_iter_partitioned is None:
-        from biggan_tpu.kernels.partition import batch_partitioned
+    from biggan_tpu.kernels.partition import batch_partitioned
 
-        _power_iter_partitioned = batch_partitioned(
-            _power_iter_local,
-            rule="i o, a o -> c d, e o",
-            replicated=("i", "o", "a", "c", "d", "e"),
-            arg_batch_dims=(None, None),
-            out_batch_dims=(None, None),
-        )
-    return _power_iter_partitioned
+    return batch_partitioned(
+        _power_iter_local,
+        rule="i o, a o -> c d, e o",
+        replicated=("i", "o", "a", "c", "d", "e"),
+        arg_batch_dims=(None, None),
+        out_batch_dims=(None, None),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -118,6 +118,22 @@ class TestFlashAttention:
         with pytest.raises(ValueError):
             set_attn_tuning(score_dtype="fp8")
 
+    def test_partial_tuning_call_preserves_block_override(self):
+        """build_models sets score_dtype only — it must not silently wipe
+        a block size a probe pinned (r4b review finding)."""
+        from biggan_tpu.kernels import attention_pallas as ap
+
+        prev = ap.set_attn_tuning(block_n=64)
+        try:
+            ap.set_attn_tuning(score_dtype="float32")  # partial call
+            assert ap._BLOCK_N_OVERRIDE == 64
+            ap.set_attn_tuning(variant="v2")  # partial call
+            assert ap._BLOCK_N_OVERRIDE == 64
+            ap.set_attn_tuning(block_n=None)  # explicit None clears
+            assert ap._BLOCK_N_OVERRIDE is None
+        finally:
+            ap.set_attn_tuning(*prev)
+
     def test_bfloat16(self, rng):
         q = jax.random.normal(rng, (1, 64, 8), jnp.bfloat16)
         k = jax.random.normal(rng, (1, 16, 8), jnp.bfloat16)

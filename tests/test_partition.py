@@ -161,3 +161,46 @@ class TestTrainStepPallasOnMesh:
             assert np.isfinite(float(metrics["g_loss"]))
         finally:
             set_conv_impl("auto")
+
+
+class TestBatchSpecNormalization:
+    def test_non_named_sharding_proposal_normalizes_to_replicated(self, mesh):
+        """A positional/GSPMD shard proposal must not pass through
+        unnormalized — the per-shard kernel can't handle non-batch-dim
+        splits (r4b review finding): normalize to replicated instead."""
+        import types
+
+        from jax.sharding import SingleDeviceSharding
+
+        from biggan_tpu.kernels.partition import _batch_spec
+
+        fake = types.SimpleNamespace(
+            shape=(16, 8),
+            sharding=SingleDeviceSharding(jax.devices()[0]),
+        )
+        out = _batch_spec(mesh, fake, batch_dim=0)
+        assert isinstance(out, NamedSharding)
+        assert out.spec == P() or all(a is None for a in out.spec)
+
+    def test_non_batch_dim_axis_is_stripped(self, mesh):
+        from biggan_tpu.kernels.partition import _batch_spec
+        import types
+
+        fake = types.SimpleNamespace(
+            shape=(16, 8),
+            sharding=NamedSharding(mesh, P(None, "data")),
+        )
+        out = _batch_spec(mesh, fake, batch_dim=0)
+        # the non-batch "data" split is gone; batch dim keeps its (absent) axis
+        assert tuple(out.spec) in ((), (None,), (None, None))
+
+    def test_batch_dim_axis_is_kept(self, mesh):
+        from biggan_tpu.kernels.partition import _batch_spec
+        import types
+
+        fake = types.SimpleNamespace(
+            shape=(16, 8),
+            sharding=NamedSharding(mesh, P("data", None)),
+        )
+        out = _batch_spec(mesh, fake, batch_dim=0)
+        assert out.spec[0] == "data"
