@@ -51,6 +51,10 @@ def main() -> int:
                     help="attention score-tile dtype (bf16 labeled-deviation "
                          "learning-parity A/B; needs img-size>=64 so the "
                          "model actually has attention)")
+    ap.add_argument("--d-norm", type=str, default=None,
+                    choices=["true", "false"],
+                    help="BN inside D (false = the paper's SN-only D, the "
+                         "biggan128_v5e_fast preset's setting)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend (smoke runs)")
     args = ap.parse_args()
 
@@ -84,6 +88,8 @@ def main() -> int:
             overrides["n_critic"] = args.n_critic
         if args.attn_score_dtype:
             overrides["attn_score_dtype"] = args.attn_score_dtype
+        if args.d_norm:
+            overrides["d_norm"] = args.d_norm == "true"
         cfg = get_config(
             "biggan32_cifar10",
             dataset=ds_name,

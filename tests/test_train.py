@@ -156,9 +156,20 @@ def test_sample_shapes_and_range(tmp_path, monkeypatch):
 
 def test_preset_configs_valid():
     for name in ("biggan32_cifar10", "biggan64_imagenet", "biggan128_paper",
-                 "biggan256_ici", "biggan512_pod"):
+                 "biggan256_ici", "biggan512_pod", "biggan128_v5e_fast"):
         cfg = get_config(name)
         assert cfg.img_size in (32, 64, 128, 256, 512)
+
+
+def test_v5e_fast_preset_is_the_measured_deviation():
+    """The labeled deviation preset ships exactly the measured-winning
+    shape (docs/bench/r4/dev_ch48.jsonl): half-width channels + the
+    paper's SN-only D; numerics options stay at their faithful defaults
+    (bf16 score tiles measured a REGRESSION — BENCH_NOTES r4b)."""
+    cfg = get_config("biggan128_v5e_fast")
+    assert cfg.img_size == 128 and cfg.ch == 48
+    assert cfg.d_norm is False and cfg.n_critic == 2
+    assert cfg.attn_score_dtype == "float32"
 
 
 def test_cli_parses_reference_flags():
