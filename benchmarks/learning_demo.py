@@ -55,6 +55,12 @@ def main() -> int:
                     choices=["true", "false"],
                     help="BN inside D (false = the paper's SN-only D, the "
                          "biggan128_v5e_fast preset's setting)")
+    ap.add_argument("--g-lr", type=float, default=None,
+                    help="G Adam lr override (demo-scale balance at >=256px "
+                         "needs different ratios than the large-batch paper "
+                         "settings)")
+    ap.add_argument("--d-lr", type=float, default=None,
+                    help="D Adam lr override")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend (smoke runs)")
     args = ap.parse_args()
 
@@ -90,6 +96,10 @@ def main() -> int:
             overrides["attn_score_dtype"] = args.attn_score_dtype
         if args.d_norm:
             overrides["d_norm"] = args.d_norm == "true"
+        if args.g_lr:
+            overrides["g_lr"] = args.g_lr
+        if args.d_lr:
+            overrides["d_lr"] = args.d_lr
         cfg = get_config(
             "biggan32_cifar10",
             dataset=ds_name,
