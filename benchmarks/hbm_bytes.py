@@ -100,6 +100,12 @@ VARIANTS = {
     "p256_b64_n2": {"img_size": 256, "batch_size": 64, "remat": True, "n_critic": 2,
                     "z_dim": 140},
     "p512_b16": {"img_size": 512, "batch_size": 16, "remat": True, "z_dim": 160},
+    # r4b: the remaining BASELINE presets 1-2, measured at their shipped
+    # shapes (32px stays float32 as the preset does; 64px bf16) so every
+    # config row in BASELINE.json has a device-trace measurement
+    "p32_b64": {"img_size": 32, "batch_size": 64, "ch": 64, "z_dim": 128,
+                "num_classes": 10, "compute_dtype": "float32"},
+    "p64_b256": {"img_size": 64, "batch_size": 256, "ch": 64, "z_dim": 120},
     "ncritic2_b256_bf16mu": {"n_critic": 2, "batch_size": 256,
                              "adam_mu_dtype": "bfloat16"},
     # real-silicon attention A/B at the headline config (trace_probe.py);
