@@ -39,6 +39,9 @@ def parse_args(argv=None) -> GANConfig:
     parser.add_argument("--z_dim", type=int, default=None)
     parser.add_argument("--img_size", type=int, default=None, choices=[32, 64, 128, 256, 512])
     parser.add_argument("--sn", type=str2bool, default=None, help="spectral norm")
+    parser.add_argument("--d_norm", type=str2bool, default=None,
+                        help="BN inside D (ref-faithful default True; False = "
+                             "the paper's SN-only D, as biggan128_v5e_fast)")
     parser.add_argument("--gan_type", type=str, default=None,
                         choices=["hinge", "gan", "lsgan", "wgan-gp", "wgan-lp", "dragan"])
     parser.add_argument("--g_lr", type=float, default=None)
