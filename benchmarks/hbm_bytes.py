@@ -81,6 +81,11 @@ VARIANTS = {
                           "batch_size": 256},
     "dev_ch48_full": {"ch": 48, "n_critic": 2, "batch_size": 256,
                       "d_norm": False, "attn_score_dtype": "bfloat16"},
+    # r4b: the winning deviation shape at per-chip batch 512 (the compile
+    # relay's single-microbatch ceiling) — does the fixed pool amortize
+    # further past the preset's 256?
+    "dev_ch48_b512": {"ch": 48, "n_critic": 2, "batch_size": 512,
+                      "d_norm": False},
     # r4: remat A/B at the 256px preset on the real meter (the r2 byte
     # model said remat loses at 128px; the 256 preset ships with it on)
     "p256_b64_noremat": {"img_size": 256, "batch_size": 64, "remat": False,

@@ -186,6 +186,11 @@ def test_cli_parses_reference_flags():
     cfg = parse_args(["--config", "biggan128_paper", "--batch_size", "8"])
     assert cfg.img_size == 128 and cfg.batch_size == 8
 
+    cfg = parse_args(["--phase", "train", "--d_norm", "False"])
+    assert cfg.d_norm is False
+    cfg = parse_args(["--config", "biggan128_v5e_fast"])
+    assert cfg.d_norm is False and cfg.ch == 48
+
 
 @pytest.mark.slow
 def test_remat_parity_and_training():
