@@ -47,13 +47,15 @@ def probe(name: str, overrides: dict, steps: int) -> dict:
 
     cfg, state, step_fn, make_batch = build_bench_step(**overrides)
     batch = make_batch()
+    peak_flops, peak_bw, kind, _ = chip_peaks()
     try:
         ca = step_fn.lower(state, batch).compile().cost_analysis()
-        peak_flops, peak_bw, kind, _ = chip_peaks()
         floor_ms = 1e3 * max(ca.get("flops", 0.0) / peak_flops,
                              ca.get("bytes accessed", 0.0) / peak_bw)
     except Exception:
-        floor_ms, kind = None, "?"
+        # cost analysis can fail for large programs (the b512 row) —
+        # the chip kind is still known; only the floor is absent
+        floor_ms = None
 
     state, m = step_fn(state, batch)  # warm (compile outside the trace)
     jax.block_until_ready(m)
