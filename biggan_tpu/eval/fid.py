@@ -49,11 +49,17 @@ def frechet_distance(
     fallback when the covariance product is near-singular."""
     from scipy import linalg
 
+    def _sqrtm(a):
+        # scipy deprecates/removes the ``disp`` argument (gone in 1.18)
+        # and with it the (sqrtm, errest) tuple return — accept both ABIs
+        out = linalg.sqrtm(a)
+        return out[0] if isinstance(out, tuple) else out
+
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(cov1 @ cov2, disp=False)
+    covmean = _sqrtm(cov1 @ cov2)
     if not np.isfinite(covmean).all():
         offset = np.eye(cov1.shape[0]) * eps
-        covmean, _ = linalg.sqrtm((cov1 + offset) @ (cov2 + offset), disp=False)
+        covmean = _sqrtm((cov1 + offset) @ (cov2 + offset))
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(cov1) + np.trace(cov2) - 2 * np.trace(covmean))

@@ -125,7 +125,7 @@ class TestPinnedResidualBackward:
         backward must match autodiff of the pmean'd forward (shard_map)."""
         from functools import partial
         from jax.sharding import Mesh, PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         devs = jax.devices()[:8]
         mesh = Mesh(np.array(devs), ("data",))
@@ -148,7 +148,7 @@ class TestPinnedResidualBackward:
             @partial(
                 shard_map, mesh=mesh,
                 in_specs=(P(), P("data")), out_specs=(P(), P("data")),
-                check_rep=False,
+                check_vma=False,
             )
             def grad_fn(params, x):
                 g_params, g_x = jax.grad(loss, argnums=(0, 1))(params, x)
