@@ -90,15 +90,17 @@ def main() -> int:
             overrides["compute_dtype"] = args.compute_dtype
         if args.adam_mu:
             overrides["adam_mu_dtype"] = args.adam_mu
-        if args.n_critic:
+        # `is not None`, not truthiness: --g-lr 0 (freeze G for an A/B) and
+        # --n-critic 0 must count as explicitly passed (ADVICE r4)
+        if args.n_critic is not None:
             overrides["n_critic"] = args.n_critic
         if args.attn_score_dtype:
             overrides["attn_score_dtype"] = args.attn_score_dtype
         if args.d_norm:
             overrides["d_norm"] = args.d_norm == "true"
-        if args.g_lr:
+        if args.g_lr is not None:
             overrides["g_lr"] = args.g_lr
-        if args.d_lr:
+        if args.d_lr is not None:
             overrides["d_lr"] = args.d_lr
         cfg = get_config(
             "biggan32_cifar10",

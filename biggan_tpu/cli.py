@@ -54,6 +54,9 @@ def parse_args(argv=None) -> GANConfig:
     parser.add_argument("--save_freq", type=int, default=None)
     parser.add_argument("--sample_num", type=int, default=None)
     parser.add_argument("--test_num", type=int, default=None)
+    parser.add_argument("--allow_untrained", type=str2bool, default=None,
+                        help="let --phase eval/sweep run from random-init "
+                             "weights when no checkpoint restores")
     parser.add_argument("--checkpoint_dir", type=str, default=None)
     parser.add_argument("--result_dir", type=str, default=None)
     parser.add_argument("--log_dir", type=str, default=None)
@@ -69,6 +72,11 @@ def parse_args(argv=None) -> GANConfig:
     parser.add_argument("--data_sampling", type=str, default=None,
                         choices=["shuffle", "iid"],
                         help="shuffle = full epochs w/ resume (ref); iid = with replacement")
+    parser.add_argument("--data_loader", type=str, default=None,
+                        choices=["auto", "ordered"],
+                        help="auto = threaded/native pool (ordered forced under "
+                             "multi-host); ordered = deterministic position-"
+                             "based loader (exact-order resume)")
 
     # TPU-native
     parser.add_argument("--compute_dtype", type=str, default=None,
@@ -95,7 +103,16 @@ def parse_args(argv=None) -> GANConfig:
     parser.add_argument("--tf_import", type=str, default=None,
                         help="path to a reference BigGAN-Tensorflow checkpoint "
                              "to import into the model at startup")
-    parser.add_argument("--shard_params", type=str2bool, default=None)
+    parser.add_argument("--shard_params", type=str2bool, default=None,
+                        help="tensor-parallel: shard big kernels (+their "
+                             "EMA/Adam slots) over the mesh 'model' axis")
+    parser.add_argument("--tp_min_shard_size", type=int, default=None,
+                        help="smallest output-feature width --shard_params "
+                             "shards; smaller kernels stay replicated")
+    parser.add_argument("--mesh_shape", type=str, default=None,
+                        help="comma-separated (data,model) mesh dims, e.g. "
+                             "'-1,1' (all devices data-parallel) or '16,2'; "
+                             "-1 absorbs the remaining devices")
     parser.add_argument("--num_slices", type=int, default=None,
                         help=">1: hybrid DCN x ICI mesh; leading data dim "
                              "spans pod slices over DCN (BASELINE config 5)")
@@ -115,6 +132,8 @@ def parse_args(argv=None) -> GANConfig:
     overrides = {
         k: v for k, v in vars(args).items() if k in field_names and v is not None
     }
+    if args.mesh_shape is not None:
+        overrides["mesh_shape"] = tuple(int(x) for x in args.mesh_shape.split(","))
     return base.replace(**overrides)
 
 

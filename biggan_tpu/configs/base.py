@@ -20,7 +20,11 @@ from typing import Optional, Tuple
 class GANConfig:
     # --- phase / bookkeeping (ref main.py flags) ---
     phase: str = "train"  # train | test | eval (FID/IS) | sweep (truncation ψ)
-    eval_num: int = 10_000  # samples per side for --phase eval FID/IS
+    # samples per side for --phase eval FID/IS. 50k is the BASELINE
+    # quality clause's scale (FID@50k) and the shipped default — the
+    # harness streams moments, so memory stays flat (proven at 50k/50k,
+    # RESULTS.md r4); lower it for quick smoke evals.
+    eval_num: int = 50_000
     dataset: str = "synthetic"  # dataset name → <data_root>/<name>/*.* or "synthetic"
     data_root: str = "dataset"  # parent dir of datasets (ref hardcodes ./dataset)
     checkpoint_dir: str = "checkpoint"
@@ -88,6 +92,10 @@ class GANConfig:
     ckpt_keep_n: int = 3  # checkpoints retained by the orbax manager
     sample_num: int = 64  # images per sample grid
     test_num: int = 10  # grids written by `phase test`
+    # eval/sweep from random-init weights is almost always a mistake (the
+    # metrics/grids would silently describe an untrained model) — require
+    # an explicit opt-in when no checkpoint restores (VERDICT r4 weak #7).
+    allow_untrained: bool = False
 
     # --- data ---
     random_flip: bool = True  # device-side random horizontal flip (north star)
@@ -95,6 +103,11 @@ class GANConfig:
     # (ref shuffle_and_repeat, BigGAN_128.py:~188-194); "iid" = draws with
     # replacement (statistically adjacent, no epoch boundaries).
     data_sampling: str = "shuffle"
+    # "auto": threaded/native pool single-host, deterministic ordered
+    # loader under multi-host (forced — correctness); "ordered": force the
+    # position-based ordered loader single-host too (exact-order resume,
+    # batch k is a pure function of (seed, k)).
+    data_loader: str = "auto"
 
     # --- sampling ---
     truncation: float = 2.0  # truncated-normal threshold for z (ref: 2σ baked in)
@@ -109,6 +122,10 @@ class GANConfig:
     # (BASELINE config 5, v4-32 pod slice); 1 = single-slice contiguous mesh.
     num_slices: int = 1
     shard_params: bool = False  # shard big kernels over the model axis (TP)
+    # smallest output-feature width that TP shards; kernels below it stay
+    # replicated (all-gather traffic beats the HBM saved). Tests/dry-runs
+    # lower it to exercise TP on tiny models.
+    tp_min_shard_size: int = 512
     remat: bool = False  # jax.checkpoint on blocks to trade FLOPs for HBM
     # Materialize the bf16-cast (spectrally normalized) kernels behind an
     # optimization barrier. Measured NEGATIVE at 128px (58.1→59.25 GB/step
@@ -140,6 +157,8 @@ class GANConfig:
             raise ValueError(
                 "attn_score_dtype must be float32|bfloat16, "
                 f"got {self.attn_score_dtype!r}")
+        if self.data_loader not in ("auto", "ordered"):
+            raise ValueError(f"data_loader must be auto|ordered, got {self.data_loader!r}")
         if self.batch_size % self.grad_accum != 0:
             raise ValueError("batch_size must be divisible by grad_accum")
         if self.img_size not in (32, 64, 128, 256, 512):

@@ -62,7 +62,9 @@ def _batch_spec(mesh, shape_sharding, batch_dim):
     ndim = len(shape_sharding.shape)
     new = [None] * ndim
     new[batch_dim] = axis
-    return NamedSharding(sharding.mesh, PartitionSpec(*new))
+    # over the partition-supplied mesh (the documented invariant) — the
+    # proposal's own mesh object can be a stale/equal-but-distinct instance
+    return NamedSharding(mesh, PartitionSpec(*new))
 
 
 def batch_partitioned(fun, rule, replicated, arg_batch_dims, out_batch_dims):

@@ -29,7 +29,7 @@ from biggan_tpu.checkpoint.manager import CheckpointManager
 from biggan_tpu.configs.base import GANConfig
 from biggan_tpu.data.pipeline import device_prefetch, make_dataset, make_loader
 from biggan_tpu.parallel.mesh import create_mesh
-from biggan_tpu.parallel.sharding import batch_sharding, replicate
+from biggan_tpu.parallel.sharding import batch_sharding, shard_state
 from biggan_tpu.sampling.grids import save_image_grid
 from biggan_tpu.sampling.truncation import sample_z
 from biggan_tpu.training.train_state import (
@@ -63,8 +63,34 @@ class BigGAN:
         restored = self.ckpt.restore(self.state)
         if restored is None:
             return False
-        self.state = replicate(restored, self.mesh)
+        self.state = self._shard_state(restored)
         return True
+
+    def _shard_state(self, state):
+        """Mesh placement honoring ``--shard_params`` (TP) on every path
+        that (re)materializes state: build, local restore, TF import."""
+        return shard_state(
+            state, self.mesh,
+            shard_params=self.cfg.shard_params,
+            min_shard_size=self.cfg.tp_min_shard_size,
+        )
+
+    def _restore_or_fail(self, what: str) -> None:
+        """Restore for a read-only phase (eval/sweep) — and be LOUD when
+        there is nothing to restore (ref ``test()`` prints ``[!] Load
+        failed``; here random-init metrics are additionally gated behind
+        ``--allow_untrained`` so they can't masquerade as results)."""
+        if self._maybe_restore():
+            print(" [*] Load SUCCESS")
+            return
+        print(" [!] Load failed — no checkpoint found")
+        if not self.cfg.allow_untrained:
+            raise RuntimeError(
+                f"{what} requested but no checkpoint restored from "
+                f"{self.checkpoint_dir!r}; pass --allow_untrained true to "
+                f"run against random-init weights anyway"
+            )
+        print(f" [!] proceeding with untrained weights (--allow_untrained)")
 
     # ref BigGAN_128.model_dir property (:~385-395)
     @property
@@ -81,10 +107,13 @@ class BigGAN:
         self.generator_net, self.discriminator_net = build_models(cfg)
         self.mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes, num_slices=cfg.num_slices)
         self._data_sharding = batch_sharding(self.mesh, batch_dim=1)
+        # multi-controller: every process runs the same SPMD program, but
+        # only the primary writes artifacts (logs, samples, config.json)
+        self._is_primary = jax.process_index() == 0
 
         with jax.default_device(jax.devices()[0]):
             state = create_train_state(cfg, jax.random.PRNGKey(cfg.seed))
-        self.state = replicate(state, self.mesh)
+        self.state = self._shard_state(state)
 
         self._train_step = jax.jit(make_train_step(cfg), donate_argnums=0)
 
@@ -101,12 +130,14 @@ class BigGAN:
         self.sample_dir = check_folder(cfg.sample_dir)
         self.result_dir = check_folder(os.path.join(cfg.result_dir, self.model_dir))
         self.log_path = check_folder(os.path.join(cfg.log_dir, self.model_dir))
-        with open(os.path.join(self.log_path, "config.json"), "w") as f:
-            f.write(cfg.to_json())
+        if self._is_primary:
+            with open(os.path.join(self.log_path, "config.json"), "w") as f:
+                f.write(cfg.to_json())
 
         self.ckpt = CheckpointManager(self.checkpoint_dir, keep_n=cfg.ckpt_keep_n)
-        show_all_variables("generator", self.state.g_params)
-        show_all_variables("discriminator", self.state.d_params)
+        if self._is_primary:
+            show_all_variables("generator", self.state.g_params)
+            show_all_variables("discriminator", self.state.d_params)
         self._built = True
 
     def _require_built(self):
@@ -133,19 +164,50 @@ class BigGAN:
         )
         # resume the epoch-shuffle traversal where the restored step left it
         # (ref resumes epoch/idx from the ckpt counter, BigGAN_128.py:~272-278)
-        loader = make_loader(
-            source, cfg.batch_size, cfg.n_critic, seed=cfg.seed,
-            start_count=start_step * cfg.n_critic * cfg.batch_size,
-        )
-        batches = device_prefetch(loader, self._data_sharding)
-        logger = MetricsLogger(self.log_path)
+        n_proc = jax.process_count()
+        start_images = start_step * cfg.n_critic * cfg.batch_size
+        if n_proc > 1 or cfg.data_loader == "ordered":
+            # multi-host (or explicitly ordered) feed: every process
+            # decodes only ITS slice of the deterministic global batch k
+            # and make_array_from_process_local_data assembles the global
+            # array — no whole-batch device_put, no divergent queues.
+            if cfg.batch_size % n_proc:
+                raise ValueError(
+                    f"global batch_size {cfg.batch_size} must divide by the "
+                    f"process count {n_proc} (per-process data feed)"
+                )
+            loader = make_loader(
+                source, cfg.batch_size // n_proc, cfg.n_critic, seed=cfg.seed,
+                start_count=start_images,
+                shard=(jax.process_index(), n_proc),
+            )
+        else:
+            loader = make_loader(
+                source, cfg.batch_size, cfg.n_critic, seed=cfg.seed,
+                start_count=start_images,
+            )
+        batches = device_prefetch(loader, self._data_sharding, process_local=n_proc > 1)
+        logger = MetricsLogger(self.log_path) if self._is_primary else None
         self.ckpt.install_preemption_hook(lambda: self.state)
 
-        # fixed z/labels for the periodic sample grid (comparable across steps)
+        # fixed z/labels for the periodic sample grid (comparable across
+        # steps). Replicated over the mesh via host values: a committed
+        # single-device array cannot feed a jit spanning a multi-process
+        # mesh; identical host values on every process can (and the seeds
+        # make them identical).
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        repl = NamedSharding(self.mesh, PartitionSpec())
         vis_z_rng, vis_label_rng = jax.random.split(jax.random.PRNGKey(cfg.seed + 1))
-        self._vis_z = sample_z(vis_z_rng, (cfg.sample_num, cfg.z_dim), "truncated", cfg.truncation)
+        self._vis_z = jax.device_put(
+            np.asarray(sample_z(vis_z_rng, (cfg.sample_num, cfg.z_dim), "truncated", cfg.truncation)),
+            repl,
+        )
         self._vis_labels = (
-            jax.random.randint(vis_label_rng, (cfg.sample_num,), 0, cfg.num_classes)
+            jax.device_put(
+                np.asarray(jax.random.randint(vis_label_rng, (cfg.sample_num,), 0, cfg.num_classes)),
+                repl,
+            )
             if cfg.num_classes > 0
             else None
         )
@@ -172,7 +234,7 @@ class BigGAN:
                     jax.profiler.stop_trace()
                     print(f" [*] wrote profiler trace ({cfg.profile_steps} steps)")
 
-                if self.ckpt.preemption_requested:
+                if self._preemption_agreed(step, n_proc):
                     # SIGTERM landed mid-step; now the state is consistent
                     # (no donated buffers in flight) — save and terminate
                     print(" [!] preemption: checkpointing at step boundary", flush=True)
@@ -190,22 +252,26 @@ class BigGAN:
                     metrics = jax.device_get(metrics)
                     t_done = time.time()
                     if cfg.log_sigma:
+                        # computed on ALL processes (jitted over global
+                        # state — SPMD programs need every controller)
                         sig = jax.device_get(self._sigma_metrics())
                         metrics.update(sig)
-                        # σ(W) distribution per net (SURVEY §5 histograms)
-                        for net in ("g", "d"):
-                            logger.log_histogram(
-                                step, f"{net}_sigma",
-                                [v for k, v in sig.items() if k.startswith(f"{net}_sigma/")],
-                            )
+                        if logger is not None:
+                            # σ(W) distribution per net (SURVEY §5 histograms)
+                            for net in ("g", "d"):
+                                logger.log_histogram(
+                                    step, f"{net}_sigma",
+                                    [v for k, v in sig.items() if k.startswith(f"{net}_sigma/")],
+                                )
                     dt = time.time() - t0
                     imgs_per_sec = (
                         steady_steps * cfg.batch_size * cfg.n_critic
                         / max(t_done - interval_start_time, 1e-9)
                     )
                     epoch, idx = divmod(step - 1, cfg.iteration)
-                    logger.print_iter(epoch, idx + 1, cfg.iteration, dt, metrics, imgs_per_sec)
-                    logger.log(step, {**metrics, "images_per_sec": imgs_per_sec})
+                    if logger is not None:
+                        logger.print_iter(epoch, idx + 1, cfg.iteration, dt, metrics, imgs_per_sec)
+                        logger.log(step, {**metrics, "images_per_sec": imgs_per_sec})
                     self._write_train_samples(step)
                     interval_start_step, interval_start_time = step, time.time()
                 if step % cfg.save_freq == 0:
@@ -215,11 +281,39 @@ class BigGAN:
         finally:
             self.ckpt.end_step_polling()  # outside the loop SIGTERM saves immediately
             loader.close()
-            logger.close()
+            if logger is not None:
+                logger.close()
         if preempted:
             self.ckpt.redeliver_sigterm()  # terminate with real SIGTERM status
         self.save()
         print(" [*] Training finished")
+
+    # every 16 steps ≈ seconds of response latency at flagship step times,
+    # amortizing the host barrier the agreement costs (multi-host only)
+    _PREEMPT_POLL_EVERY = 16
+
+    def _preemption_agreed(self, step: int, n_proc: int) -> bool:
+        """Whether to checkpoint-and-exit for preemption at this boundary.
+
+        Single-controller: the local SIGTERM flag, checked every step.
+        Multi-controller: the checkpoint save is a COLLECTIVE — if one
+        process saves at step k while another (whose SIGTERM landed a step
+        later) saves at k+1, the save deadlocks. So processes agree by
+        all-gathering their local flags at a fixed step cadence; any
+        flagged process ⇒ all save at the same boundary. The cadence
+        bounds the extra host-sync cost; orchestrator grace periods
+        (30s+) dwarf 16 steps.
+        """
+        if n_proc == 1:
+            return self.ckpt.preemption_requested
+        if step % self._PREEMPT_POLL_EVERY:
+            return False
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray([self.ckpt.preemption_requested])
+        )
+        return bool(np.any(flags))
 
     def _sigma_metrics(self) -> dict:
         from biggan_tpu.ops.sn import sigma_metrics
@@ -238,9 +332,12 @@ class BigGAN:
 
     def _write_train_samples(self, step: int) -> None:
         cfg = self.cfg
+        # all processes run the jitted sample (SPMD); only primary writes
         imgs = self._sample_fn(
             self.state.g_ema_params, self.state.g_state, self._vis_z, self._vis_labels
         )
+        if not self._is_primary:
+            return
         epoch, idx = divmod(step - 1, cfg.iteration)
         path = os.path.join(
             self.sample_dir, f"{self.model_name}_train_{epoch:02d}_{idx + 1:05d}.png"
@@ -278,8 +375,7 @@ class BigGAN:
         written paths."""
         self._require_built()
         cfg = self.cfg
-        if self._maybe_restore():
-            print(" [*] Load SUCCESS")
+        self._restore_or_fail("truncation sweep")
         n = cfg.sample_num if n is None else n
         z_rng, l_rng = jax.random.split(jax.random.PRNGKey(cfg.seed + 3))
         labels = (
@@ -330,8 +426,7 @@ class BigGAN:
         """FID + Inception Score for the EMA generator vs the dataset
         (new capability — the reference has no quantitative eval)."""
         self._require_built()
-        if self._maybe_restore():
-            print(" [*] Load SUCCESS")
+        self._restore_or_fail("eval")
         from biggan_tpu.eval.harness import evaluate_gan
 
         return evaluate_gan(
@@ -365,8 +460,15 @@ class BigGAN:
     # --------------------------------------------------------- save/load
     def save(self) -> None:
         self._require_built()
-        self.ckpt.save(jax.device_get(self.state))
-        print(f" [*] Saved checkpoint at step {int(self.state.step)}")
+        if jax.process_count() > 1:
+            # distributed save: EVERY process calls in (orbax coordinates
+            # shard writes + the primary-host finalize); device_get of a
+            # cross-host array is neither possible nor needed here
+            self.ckpt.save(self.state)
+        else:
+            self.ckpt.save(jax.device_get(self.state))
+        if self._is_primary:
+            print(f" [*] Saved checkpoint at step {int(self.state.step)}")
 
     def load_tf_checkpoint(self, ckpt_path: str, strict: bool = False) -> None:
         """Import a reference BigGAN-Tensorflow checkpoint (SURVEY §5):
@@ -379,7 +481,7 @@ class BigGAN:
         new_state, report = import_tf_checkpoint(
             ckpt_path, host_state, strict=strict, img_size=self.cfg.img_size
         )
-        self.state = replicate(new_state, self.mesh)
+        self.state = self._shard_state(new_state)
         self._tf_imported = True
         print(f" [*] TF checkpoint imported: {report.summary()}")
         if report.unmatched_tree:
@@ -390,7 +492,7 @@ class BigGAN:
         restored = self.ckpt.restore(self.state)
         if restored is None:
             return False
-        self.state = replicate(restored, self.mesh)
+        self.state = self._shard_state(restored)
         return True
 
     @property

@@ -73,6 +73,106 @@ def test_iid_mode_keeps_replacement_semantics(flat_dataset):
     assert not (counts == 8).all()  # with-replacement ≠ exact coverage
 
 
+def test_batch_at_matches_stateful_traversal(flat_dataset):
+    """The position-based protocol (multi-host feed) follows the EXACT
+    same file order as the stateful batch() cursor for shuffle sampling —
+    single-host and multi-host runs of the same seed see the same data."""
+    src = _index_source(flat_dataset, sampling="shuffle", seed=9)
+    n = len(src)
+    stateful = np.concatenate(
+        [src.batch(3)["image"][:, 0, 0, 0] for _ in range(2 * n // 3 + 1)]
+    )
+    fresh = _index_source(flat_dataset, sampling="shuffle", seed=9)
+    positional = fresh.batch_at(np.arange(len(stateful)))["image"][:, 0, 0, 0]
+    np.testing.assert_array_equal(positional, stateful)
+
+
+def test_batch_at_iid_is_deterministic_with_replacement(flat_dataset):
+    src = _index_source(flat_dataset, sampling="iid", seed=3)
+    n = len(src)
+    a = src.indices_at(np.arange(8 * n))
+    b = _index_source(flat_dataset, sampling="iid", seed=3).indices_at(np.arange(8 * n))
+    np.testing.assert_array_equal(a, b)  # pure function of (seed, position)
+    counts = np.bincount(a, minlength=n)
+    assert not (counts == 8).all()  # with-replacement ≠ exact coverage
+
+
+def test_sharded_loader_slices_assemble_the_global_batch(flat_dataset):
+    """Two shards of a 2-process feed, concatenated, must equal the (0,1)
+    single-shard feed's global batches row-for-row — the layout contract
+    jax.make_array_from_process_local_data assembles on the mesh."""
+    from biggan_tpu.data.pipeline import ShardedOrderedLoader
+
+    def collect(shard, local_bs, n_batches, start=0):
+        src = _index_source(flat_dataset, sampling="shuffle", seed=4)
+        ld = ShardedOrderedLoader(
+            src, (2, local_bs), shard=shard, start_count=start, workers=2
+        )
+        try:
+            return [next(ld) for _ in range(n_batches)]
+        finally:
+            ld.close()
+
+    whole = collect((0, 1), 4, 3)
+    left = collect((0, 2), 2, 3)
+    right = collect((1, 2), 2, 3)
+    for w, l, r in zip(whole, left, right):
+        np.testing.assert_array_equal(
+            w["image"], np.concatenate([l["image"], r["image"]], axis=1)
+        )
+
+    # and the global traversal is still epoch-exact: 3 batches × G=8 = 24
+    # draws ≡ images 0..23 of the traversal
+    seen = np.concatenate([w["image"][:, :, 0, 0, 0].reshape(-1) for w in whole])
+    n = 7  # files in flat_dataset
+    counts = np.bincount(seen.astype(int), minlength=n)
+    # 24 draws over 7 files: first 3 full epochs (21) + 3 of epoch 4
+    assert counts.sum() == 24 and counts.min() >= 3 and counts.max() <= 4
+
+
+def test_sharded_loader_start_count_resume(flat_dataset):
+    from biggan_tpu.data.pipeline import ShardedOrderedLoader
+
+    def run(start, n_batches):
+        src = _index_source(flat_dataset, sampling="shuffle", seed=6)
+        ld = ShardedOrderedLoader(src, (1, 4), shard=(0, 1), start_count=start)
+        try:
+            return np.concatenate(
+                [next(ld)["image"][:, :, 0, 0, 0].reshape(-1) for _ in range(n_batches)]
+            )
+        finally:
+            ld.close()
+
+    full = run(0, 4)
+    resumed = run(8, 2)  # resume two global batches in
+    np.testing.assert_array_equal(resumed, full[8:])
+
+
+def test_sharded_loader_rejects_misaligned_resume(flat_dataset):
+    from biggan_tpu.data.pipeline import ShardedOrderedLoader
+
+    src = _index_source(flat_dataset, sampling="shuffle")
+    with pytest.raises(ValueError, match="step boundary"):
+        ShardedOrderedLoader(src, (1, 4), shard=(0, 2), start_count=3)
+
+
+def test_synthetic_batch_at_deterministic():
+    from biggan_tpu.data.synthetic import SyntheticSource
+
+    a = SyntheticSource(8, num_classes=5, seed=2)
+    b = SyntheticSource(8, num_classes=5, seed=2)
+    pos = np.array([0, 1, 7, 123456789])
+    ba, bb = a.batch_at(pos), b.batch_at(pos)
+    np.testing.assert_array_equal(ba["image"], bb["image"])
+    np.testing.assert_array_equal(ba["label"], bb["label"])
+    assert ba["image"].shape == (4, 8, 8, 3)
+    assert ba["label"].min() >= 0 and ba["label"].max() < 5
+    # different positions → different images; different seed → different too
+    assert not np.array_equal(ba["image"][0], ba["image"][1])
+    c = SyntheticSource(8, num_classes=5, seed=3).batch_at(pos)
+    assert not np.array_equal(ba["image"], c["image"])
+
+
 def test_native_loader_epoch_exact(tmp_path):
     from biggan_tpu.data import native_loader
 

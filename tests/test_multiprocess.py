@@ -60,6 +60,156 @@ _WORKER = textwrap.dedent(
 )
 
 
+_TRAIN_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+    )
+    workdir, data_loader = sys.argv[1], sys.argv[2]
+    os.chdir(workdir)
+    import numpy as np
+    import jax
+
+    from biggan_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
+    from biggan_tpu.configs import GANConfig
+    from biggan_tpu.models.biggan import BigGAN
+
+    # tiny lr (test_parallel.py rationale): Adam's first steps are
+    # ~±lr·sign(m̂); keep reduction-order sign flips below tolerance
+    cfg = GANConfig(
+        dataset="synthetic", img_size=32, ch=8, z_dim=16, num_classes=4,
+        batch_size=8, epoch=1, iteration=3, print_freq=1, save_freq=3,
+        sample_num=4, compute_dtype="float32", g_lr=1e-6, d_lr=1e-6,
+        random_flip=False, seed=0, data_loader=data_loader,
+    )
+    gan = BigGAN(cfg)
+    gan.build_model()
+    gan.train()  # trains 3 steps on the per-process sharded feed, saves
+
+    leaves = jax.tree.leaves(jax.device_get(gan.state.g_params))
+    digest = float(sum(np.abs(l).astype(np.float64).sum() for l in leaves))
+    print(f"DIGEST {digest:.10f}", flush=True)
+
+    # checkpoint round-trip restores the trained step + params exactly
+    assert gan.load(), "restore failed"
+    assert int(gan.state.step) == 3, int(gan.state.step)
+    leaves2 = jax.tree.leaves(jax.device_get(gan.state.g_params))
+    digest2 = float(sum(np.abs(l).astype(np.float64).sum() for l in leaves2))
+    assert abs(digest - digest2) < 1e-9, (digest, digest2)
+    print("TRAIN_WORKER_OK", flush=True)
+    """
+)
+
+
+def _launch_cluster(script_path, argv, n_procs, port, extra_env=None):
+    env_base = {
+        **os.environ,
+        "PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        **(extra_env or {}),
+    }
+    env_base.pop("JAX_PLATFORMS", None)  # worker sets its own
+    if n_procs > 1:
+        env_base["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+        env_base["JAX_NUM_PROCESSES"] = str(n_procs)
+    else:
+        env_base.pop("JAX_COORDINATOR_ADDRESS", None)
+        env_base.pop("JAX_NUM_PROCESSES", None)
+    procs = []
+    for pid in range(n_procs):
+        env = dict(env_base)
+        if n_procs > 1:
+            env["JAX_PROCESS_ID"] = str(pid)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script_path)] + argv,
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("cluster worker timed out")
+        outs.append(out)
+    return procs, outs
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _read_losses(workdir):
+    import glob as _glob
+    import json
+
+    (path,) = _glob.glob(os.path.join(workdir, "logs", "*", "metrics.jsonl"))
+    rows = [json.loads(l) for l in open(path)]
+    return {r["step"]: (r["d_loss"], r["g_loss"]) for r in rows if "d_loss" in r}
+
+
+def test_two_process_full_train_matches_single_process(tmp_path):
+    """THE multi-host e2e (VERDICT r4 top next): BigGAN.build_model()+
+    train() across a real 2-process cluster — per-process sharded data
+    feed, distributed orbax checkpoint save + restore — must reproduce a
+    single-process run of the same global batches (losses per step AND
+    final params), proving the facade trains correctly on a multi-host
+    mesh with no single-controller assumptions left."""
+    script = tmp_path / "train_worker.py"
+    script.write_text(_TRAIN_WORKER)
+
+    multi_dir = tmp_path / "multi"
+    single_dir = tmp_path / "single"
+    multi_dir.mkdir()
+    single_dir.mkdir()
+
+    procs, outs = _launch_cluster(
+        script, [str(multi_dir), "auto"], n_procs=2, port=_free_port()
+    )
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"multi worker {i} failed:\n{out}"
+        assert "TRAIN_WORKER_OK" in out, f"multi worker {i} no OK marker:\n{out}"
+
+    # the single-process reference consumes the SAME deterministic global
+    # batches via the ordered position-based loader
+    procs1, outs1 = _launch_cluster(
+        script, [str(single_dir), "ordered"], n_procs=1, port=_free_port()
+    )
+    assert procs1[0].returncode == 0, f"single worker failed:\n{outs1[0]}"
+
+    # per-step loss equivalence (primary-written metrics.jsonl)
+    multi_losses = _read_losses(str(multi_dir))
+    single_losses = _read_losses(str(single_dir))
+    assert set(multi_losses) == set(single_losses) == {1, 2, 3}
+    for step in (1, 2, 3):
+        for m, s in zip(multi_losses[step], single_losses[step]):
+            assert abs(m - s) <= 1e-4 * max(1.0, abs(s)), (step, m, s)
+
+    # final-params digest equivalence (both processes printed identical
+    # digests — replicated state — and they match the single run)
+    def digest_of(out):
+        for line in out.splitlines():
+            if line.startswith("DIGEST "):
+                return float(line.split()[1])
+        raise AssertionError(f"no DIGEST in:\n{out}")
+
+    d0, d1 = digest_of(outs[0]), digest_of(outs[1])
+    ds = digest_of(outs1[0])
+    assert d0 == d1, (d0, d1)
+    assert abs(d0 - ds) <= 1e-5 * max(1.0, abs(ds)), (d0, ds)
+
+
 def test_two_process_cluster_hybrid_mesh(tmp_path):
     with socket.socket() as s:
         s.bind(("localhost", 0))
