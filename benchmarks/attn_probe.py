@@ -35,6 +35,13 @@ from biggan_tpu.utils.trace import load_device_steps  # noqa: E402
 SHAPES = {
     "g64_c192": (256, 4096, 24, 1024, 96),
     "d64_c96": (256, 4096, 12, 1024, 48),
+    # The long-context claim (ops/attn.py / SURVEY §5): attention moved to
+    # 128² → N=16384, pooled M=4096, C=96 (G's last-stage width). Batch 16
+    # (not 256) keeps the probe program inside the compile relay's limits;
+    # per-token cost is batch-independent (grid is (b, n/block)). The
+    # picker's VMEM math admits exactly block 256 here (score tile
+    # 256×4096×4B = 4 MB).
+    "attn128_c96": (16, 16384, 12, 4096, 48),
 }
 
 

@@ -68,7 +68,22 @@ class BigGAN:
 
     def _shard_state(self, state):
         """Mesh placement honoring ``--shard_params`` (TP) on every path
-        that (re)materializes state: build, local restore, TF import."""
+        that (re)materializes state: build, local restore, TF import.
+
+        Multi-controller: a leaf committed to one local device cannot be
+        device_put onto a sharding spanning other processes' devices
+        (cross-host reshard is rejected), but identical HOST values on
+        every process can — so pull committed single-device leaves to
+        host first. Leaves already on the global mesh (orbax restore)
+        pass through untouched.
+        """
+        if jax.process_count() > 1:
+            state = jax.tree.map(
+                lambda x: jax.device_get(x)
+                if isinstance(x, jax.Array) and len(x.sharding.device_set) == 1
+                else x,
+                state,
+            )
         return shard_state(
             state, self.mesh,
             shard_params=self.cfg.shard_params,
@@ -111,7 +126,9 @@ class BigGAN:
         # only the primary writes artifacts (logs, samples, config.json)
         self._is_primary = jax.process_index() == 0
 
-        with jax.default_device(jax.devices()[0]):
+        # local_devices, not devices: in multi-controller the global list's
+        # first device belongs to process 0 and is non-addressable elsewhere
+        with jax.default_device(jax.local_devices()[0]):
             state = create_train_state(cfg, jax.random.PRNGKey(cfg.seed))
         self.state = self._shard_state(state)
 
