@@ -339,4 +339,50 @@ void bt_loader_destroy(void* handle) {
   delete L;
 }
 
+// Stateless position-based decode: fill out_images[i] with the decoded +
+// resized file at indices[i], fanned out over n_threads. The multi-host
+// ordered loader (data/pipeline.py ShardedOrderedLoader) computes WHICH
+// files belong to global batch k in Python (a pure function of (seed, k))
+// and uses this purely as a parallel decode+resize primitive — ordering
+// and traversal stay in one place, native speed stays available under
+// multi-host. Threads are spawned per call: creation cost (~tens of µs
+// each) is noise against image decode (~ms each). Failed slots are
+// zeroed; returns the number of failures (0 = all decoded).
+int bt_decode_indices(const char** paths, int n_files, int img_size,
+                      const int64_t* indices, int count, int n_threads,
+                      uint8_t* out_images, const int32_t* labels,
+                      int32_t* out_labels) {
+  if (n_files <= 0 || img_size <= 0 || count <= 0) return -1;
+  std::atomic<int> next{0};
+  std::atomic<int> failures{0};
+  const size_t stride = size_t(img_size) * img_size * 3;
+  auto work = [&] {
+    int i;
+    while ((i = next.fetch_add(1)) < count) {
+      int64_t fi = indices[i];
+      uint8_t* dst = out_images + size_t(i) * stride;
+      bool ok = false;
+      if (fi >= 0 && fi < n_files) {
+        Image img;
+        if (decode_file(paths[fi], &img) && img.w > 0 && img.h > 0) {
+          resize_bilinear(img, img_size, dst);
+          ok = true;
+        }
+        if (labels && out_labels) out_labels[i] = labels[fi];
+      }
+      if (!ok) {
+        std::memset(dst, 0, stride);
+        failures.fetch_add(1);
+      }
+    }
+  };
+  int nt = n_threads > 0 ? n_threads : 4;
+  if (nt > count) nt = count;
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(work);
+  for (auto& t : threads) t.join();
+  return failures.load();
+}
+
 }  // extern "C"

@@ -60,6 +60,13 @@ def _lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32),
         ]
         lib.bt_loader_destroy.argtypes = [ctypes.c_void_p]
+        lib.bt_decode_indices.restype = ctypes.c_int
+        lib.bt_decode_indices.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
         _lib_handle = lib
     return _lib_handle
 
@@ -70,6 +77,57 @@ def available() -> bool:
         return True
     except (subprocess.CalledProcessError, OSError):
         return False
+
+
+class NativeDecodePool:
+    """Stateless parallel decode+resize over an explicit index list.
+
+    The multi-host/ordered data path (``ShardedOrderedLoader``) computes
+    WHICH files belong to global batch *k* in Python — a pure function of
+    ``(seed, k)`` — and hands the index list here, so traversal
+    determinism lives in one place while decode runs at native pool
+    speed. Unlike :class:`NativeImageFolderSource` there is no shared
+    cursor and no queue: ordering is the caller's, by construction.
+    """
+
+    def __init__(self, files, labels, img_size: int, n_threads: int = 8):
+        if not files:
+            raise FileNotFoundError("native decode pool: empty file list")
+        self.img_size = img_size
+        self.n_threads = n_threads
+        self._files = [f.encode() for f in files]
+        self._arr = (ctypes.c_char_p * len(self._files))(*self._files)
+        if labels is not None:
+            self._labels = np.ascontiguousarray(labels, np.int32)
+            self._lab_ptr = self._labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        else:
+            self._labels = None
+            self._lab_ptr = None
+        _lib()  # build/load eagerly so failures surface at construction
+
+    def decode(self, indices: np.ndarray) -> dict:
+        indices = np.ascontiguousarray(indices, np.int64)
+        n = len(indices)
+        images = np.empty((n, self.img_size, self.img_size, 3), np.uint8)
+        out_labels = np.empty((n,), np.int32) if self._labels is not None else None
+        failures = _lib().bt_decode_indices(
+            self._arr, len(self._files), self.img_size,
+            indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+            self.n_threads,
+            images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            self._lab_ptr,
+            out_labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+            if out_labels is not None else None,
+        )
+        if failures:
+            # zeroed slots, not silence (a corrupt file in a deterministic
+            # traversal must not silently skew the batch distribution)
+            print(f" [!] native decode pool: {failures}/{n} files failed to "
+                  "decode (slots zeroed)")
+        out = {"image": images}
+        if out_labels is not None:
+            out["label"] = out_labels
+        return out
 
 
 class NativeImageFolderSource:

@@ -340,12 +340,16 @@ class ShardedOrderedLoader:
         start_count: int = 0,  # GLOBAL images already consumed (resume)
         prefetch: int = 4,
         workers: int = 4,
+        batch_at=None,  # override decode (e.g. the native pool); default source.batch_at
+        on_close=None,
     ):
-        if not hasattr(source, "batch_at"):
+        if batch_at is None and not hasattr(source, "batch_at"):
             raise TypeError(
                 f"{type(source).__name__} has no position-based batch_at(); "
                 "the multi-host/ordered data path needs it"
             )
+        self._batch_at = batch_at if batch_at is not None else source.batch_at
+        self._on_close = on_close
         self.source = source
         self.n_critic, self.local_bs = batch_shape
         self.p, self.P = shard
@@ -380,7 +384,7 @@ class ShardedOrderedLoader:
         ).reshape(-1)
 
     def _build(self, seq: int) -> dict:
-        b = self.source.batch_at(self._positions(self._start_batch + seq))
+        b = self._batch_at(self._positions(self._start_batch + seq))
         out = {
             "image": b["image"].reshape(
                 self.n_critic, self.local_bs, *b["image"].shape[1:]
@@ -428,6 +432,8 @@ class ShardedOrderedLoader:
         for t in self._threads:
             t.join(timeout=2.0)
         self._done.clear()
+        if self._on_close is not None:
+            self._on_close()
 
 
 def device_prefetch(loader, sharding, depth: int = 2, process_local: bool = False):
@@ -541,18 +547,27 @@ def make_loader(
     contract.
     """
     if shard is not None:
-        if isinstance(source, ImageFolderSource):
+        batch_at = None
+        if isinstance(source, ImageFolderSource) and native == "auto":
             from biggan_tpu.data import native_loader
 
-            if native == "auto" and native_loader.available():
-                print(
-                    " [*] ordered/multi-host data path: using the Python "
-                    "decode pool (the native pool's completion-order queue "
-                    "cannot guarantee cross-host batch ordering)"
+            if native_loader.available():
+                # traversal (which file is at which global position) stays
+                # in Python — a pure function of (seed, position) — and
+                # the C++ pool is used only as a parallel decode+resize
+                # primitive, so ordering survives at native speed
+                pool = native_loader.NativeDecodePool(
+                    source.files, source.labels, source.img_size,
+                    n_threads=max(workers * 2, 8),
                 )
+
+                def batch_at(positions, _pool=pool, _src=source):
+                    return _pool.decode(_src.indices_at(positions))
+
         return ShardedOrderedLoader(
             source, (n_critic, batch_size), shard=shard,
             start_count=start_count, prefetch=prefetch, workers=workers,
+            batch_at=batch_at,
         )
     if native == "auto" and isinstance(source, ImageFolderSource):
         from biggan_tpu.data import native_loader

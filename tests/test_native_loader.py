@@ -82,6 +82,42 @@ def test_native_decode_matches_pil(tmp_path, native_available):
     assert np.max(np.abs(native_img - pil_img)) <= 16.0
 
 
+def test_native_decode_pool_matches_pil_traversal(tmp_path, native_available):
+    """The multi-host ordered path's native decode: pool.decode over the
+    source's position-based indices must equal the PIL batch_at decode
+    (same files, same order, same bilinear convention ±rounding)."""
+    from biggan_tpu.data.native_loader import NativeDecodePool
+    from biggan_tpu.data.pipeline import ImageFolderSource
+
+    _write_images(tmp_path)
+    src = ImageFolderSource(str(tmp_path), img_size=16, seed=7)
+    pool = NativeDecodePool(src.files, src.labels, img_size=16)
+    positions = np.arange(2 * len(src))  # two full epochs
+    native = pool.decode(src.indices_at(positions))
+    pil = src.batch_at(positions)
+    np.testing.assert_array_equal(native["label"], pil["label"])  # same files
+    diff = np.abs(native["image"].astype(np.float32) - pil["image"].astype(np.float32))
+    assert np.mean(diff) < 2.0 and np.max(diff) <= 16.0
+
+
+def test_sharded_loader_routes_native_pool(tmp_path, native_available):
+    """make_loader(shard=...) on an image folder uses the native decode
+    pool while preserving the deterministic global traversal (ordered
+    hand-out, position-pure batches)."""
+    from biggan_tpu.data.pipeline import ImageFolderSource, make_loader
+
+    _write_images(tmp_path)
+    src = ImageFolderSource(str(tmp_path), img_size=16, seed=5)
+    loader = make_loader(src, batch_size=3, n_critic=1, shard=(0, 1), seed=5)
+    try:
+        assert loader._batch_at.__name__ == "batch_at"  # the pool closure
+        got = np.concatenate([next(loader)["label"].reshape(-1) for _ in range(2)])
+    finally:
+        loader.close()
+    expected = src.labels[src.indices_at(np.arange(6))]
+    np.testing.assert_array_equal(got, expected)
+
+
 def test_make_loader_uses_native(tmp_path, native_available):
     from biggan_tpu.data.pipeline import (
         ImageFolderSource,
