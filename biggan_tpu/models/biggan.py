@@ -13,6 +13,12 @@ surface minus the TF session, over the TPU-native machinery:
 - per-iteration stdout line + JSONL/TensorBoard metrics + sample grids,
   the same artifact layout: ``samples/``, ``results/<model_dir>/``,
   ``checkpoint/<model_dir>/``, ``logs/<model_dir>``.
+
+Multi-host: ``train()`` is fully multi-controller (per-process sharded
+data feed, collective checkpoints, primary-gated artifacts — see
+docs/MULTIHOST.md); the ``test``/``eval``/``sweep`` phases are
+single-controller utilities, run on one host against the shared
+checkpoint directory.
 """
 
 from __future__ import annotations
