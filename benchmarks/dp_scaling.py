@@ -44,7 +44,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def _ckpt_roundtrip(state, mesh, cfg, workdir) -> bool:
+def _ckpt_roundtrip(state, workdir) -> bool:
     """Save the sharded state, restore into the same shardings, and check
     the step counter + a params digest — the minimal proof that a mesh
     run survives checkpointing (half of the first-silicon checklist that
@@ -124,7 +124,7 @@ def run_one(n_dev: int, impl: str, args) -> dict:
             jax.block_until_ready(m)
             times.append(time.perf_counter() - t0)
         with tempfile.TemporaryDirectory(prefix="dp_scaling_ckpt_") as td:
-            ckpt_ok = _ckpt_roundtrip(state, mesh, cfg, td)
+            ckpt_ok = _ckpt_roundtrip(state, td)
     step_s = statistics.median(times)
     return {
         "schema": "dp_scaling/v2",  # the BENCH_NOTES archive row format

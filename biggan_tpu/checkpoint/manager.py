@@ -96,6 +96,17 @@ class CheckpointManager:
                 # and let the in-flight atomic save finish or be discarded.
                 self.redeliver_sigterm()
                 return
+            if jax.process_count() > 1:
+                # Multi-controller: the orbax save is a COLLECTIVE — a
+                # lone process saving from its signal handler would block
+                # on cross-host sync forever (its peers are elsewhere, or
+                # agreeing on a different step). The deferred cross-host
+                # agreement in the train loop is the only safe save path;
+                # here just terminate.
+                print(" [!] preemption: multi-host fallback save skipped "
+                      "(collective save impossible from one process)", flush=True)
+                self.redeliver_sigterm()
+                return
             try:
                 state = self._get_state() if self._get_state else None
                 if state is not None:

@@ -110,9 +110,11 @@ def parse_args(argv=None) -> GANConfig:
                         help="smallest output-feature width --shard_params "
                              "shards; smaller kernels stay replicated")
     parser.add_argument("--mesh_shape", type=str, default=None,
-                        help="comma-separated (data,model) mesh dims, e.g. "
-                             "'-1,1' (all devices data-parallel) or '16,2'; "
-                             "-1 absorbs the remaining devices")
+                        help="comma-separated (data,model) mesh dims; -1 "
+                             "absorbs the remaining devices. A leading -1 "
+                             "needs the '=' form (argparse would read a "
+                             "bare '-1,1' as a flag): --mesh_shape=-1,1 "
+                             "(all-data-parallel) or --mesh_shape 16,2")
     parser.add_argument("--num_slices", type=int, default=None,
                         help=">1: hybrid DCN x ICI mesh; leading data dim "
                              "spans pod slices over DCN (BASELINE config 5)")

@@ -307,6 +307,13 @@ class PrefetchLoader:
         drain()
 
 
+class _LoaderError:
+    """Marker carrying a worker-side exception to the consumer thread."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class ShardedOrderedLoader:
     """Deterministic, process-sliced, ORDER-PRESERVING batch producer —
     the multi-host data feed (VERDICT r4 missing #3).
@@ -406,9 +413,15 @@ class ShardedOrderedLoader:
                     return
                 seq = self._next_assign
                 self._next_assign += 1
-            batch = self._build(seq)
+            # a decode failure must surface at __next__, not silently kill
+            # this worker (a dead worker's seq would never reach _done and
+            # the consumer — and in multi-host, every peer — would hang)
+            try:
+                result = self._build(seq)
+            except BaseException as e:  # noqa: BLE001 — re-raised at __next__
+                result = _LoaderError(e)
             with self._cond:
-                self._done[seq] = batch
+                self._done[seq] = result
                 self._cond.notify_all()
 
     def __iter__(self):
@@ -423,7 +436,11 @@ class ShardedOrderedLoader:
             batch = self._done.pop(self._next_out)
             self._next_out += 1
             self._cond.notify_all()  # free a prefetch slot for the workers
-            return batch
+        if isinstance(batch, _LoaderError):
+            raise RuntimeError(
+                f"ordered loader batch {self._next_out - 1} failed to build"
+            ) from batch.exc
+        return batch
 
     def close(self):
         self._stop.set()
@@ -434,6 +451,50 @@ class ShardedOrderedLoader:
         self._done.clear()
         if self._on_close is not None:
             self._on_close()
+
+
+def validate_process_slice(
+    sharding, shape: tuple, p: int, P: int, batch_dim: int = 1, proc_of=None
+) -> None:
+    """Assert that process ``p``'s addressable part of ``sharding`` over
+    ``shape`` is EXACTLY the contiguous batch rows
+    ``[p·B/P, (p+1)·B/P)`` that :class:`ShardedOrderedLoader` decodes.
+
+    The ordered loader's layout contract assumes a process-major data
+    axis; a hybrid/custom mesh could order devices differently, and
+    ``make_array_from_process_local_data`` would then silently assemble
+    a PERMUTED global batch — positions would no longer be a pure
+    function of ``(seed, k)`` and multi-host runs would diverge from
+    single-host ones with no error. Cheap to check once per run.
+    ``proc_of`` is injectable for tests (defaults to ``process_index``).
+    """
+    proc_of = proc_of or (lambda d: d.process_index)
+    B = shape[batch_dim]
+    if B % P:
+        raise ValueError(f"global batch {B} not divisible by process count {P}")
+    local = B // P
+    mine = set()
+    for d, idx in sharding.devices_indices_map(shape).items():
+        if proc_of(d) != p:
+            continue
+        sl = idx[batch_dim]
+        mine.add((sl.start or 0, B if sl.stop is None else sl.stop))
+    covered = sorted(mine)
+    lo, hi = covered[0][0], covered[-1][1]
+    cursor, contiguous = lo, True
+    for s, e in covered:
+        if s > cursor:  # hole — interleaved with another process
+            contiguous = False
+            break
+        cursor = max(cursor, e)
+    if not (contiguous and lo == p * local and hi == (p + 1) * local and cursor == hi):
+        raise ValueError(
+            f"process {p}'s addressable batch rows {covered} are not the "
+            f"contiguous slice [{p * local}, {(p + 1) * local}) the ordered "
+            "loader decodes — the mesh's data axis is not process-major. "
+            "Reorder the mesh (create_mesh default is process-major) or "
+            "feed this layout a matching loader."
+        )
 
 
 def device_prefetch(loader, sharding, depth: int = 2, process_local: bool = False):
@@ -455,8 +516,18 @@ def device_prefetch(loader, sharding, depth: int = 2, process_local: bool = Fals
 
     if process_local:
         P = jax.process_count()
+        checked = []
 
         def put(batch):
+            if not checked:
+                # once per run: the loader's process-major layout contract
+                # must match this sharding's actual index domains
+                leaf = jax.tree.leaves(batch)[0]
+                validate_process_slice(
+                    sharding, (leaf.shape[0], leaf.shape[1] * P),
+                    jax.process_index(), P,
+                )
+                checked.append(True)
             return jax.tree.map(
                 lambda x: jax.make_array_from_process_local_data(
                     sharding, x, global_shape=(x.shape[0], x.shape[1] * P, *x.shape[2:])

@@ -156,6 +156,56 @@ def test_sharded_loader_rejects_misaligned_resume(flat_dataset):
         ShardedOrderedLoader(src, (1, 4), shard=(0, 2), start_count=3)
 
 
+def test_sharded_loader_propagates_decode_errors(flat_dataset):
+    """A batch_at failure (corrupt file, dead pool) must surface at
+    __next__ promptly — a silently-dead worker would hang the consumer
+    (and in multi-host, every peer) forever."""
+    from biggan_tpu.data.pipeline import ShardedOrderedLoader
+
+    src = _index_source(flat_dataset, sampling="shuffle")
+
+    def boom(positions):
+        raise OSError("truncated file")
+
+    ld = ShardedOrderedLoader(src, (1, 4), shard=(0, 1), batch_at=boom)
+    try:
+        with pytest.raises(RuntimeError, match="failed to build"):
+            next(ld)
+    finally:
+        ld.close()
+
+
+def test_validate_process_slice_contract():
+    """The ordered loader's process-major layout assumption is CHECKED
+    against the real sharding (a reordered mesh would otherwise silently
+    permute global batches across hosts)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from biggan_tpu.data.pipeline import validate_process_slice
+
+    devs = jax.devices()[:8]
+    proc_of = lambda d: 0 if devs.index(d) < 4 else 1  # pretend 2 processes
+
+    mesh = Mesh(np.array(devs).reshape(8, 1), ("data", "model"))
+    sh = NamedSharding(mesh, P(None, "data"))
+    for p in (0, 1):  # process-major order: both processes validate
+        validate_process_slice(sh, (2, 16), p, 2, proc_of=proc_of)
+
+    # reversed device order: process 0's rows land in the TOP half — the
+    # contract is violated and the check must say so
+    rev = Mesh(np.array(devs[::-1]).reshape(8, 1), ("data", "model"))
+    sh_rev = NamedSharding(rev, P(None, "data"))
+    with pytest.raises(ValueError, match="not process-major|not the"):
+        validate_process_slice(sh_rev, (2, 16), 0, 2, proc_of=proc_of)
+
+    # model-axis replication doesn't confuse the row-domain math
+    mesh22 = Mesh(np.array(devs).reshape(4, 2), ("data", "model"))
+    sh22 = NamedSharding(mesh22, P(None, "data"))
+    for p in (0, 1):
+        validate_process_slice(sh22, (2, 16), p, 2, proc_of=proc_of)
+
+
 def test_synthetic_batch_at_deterministic():
     from biggan_tpu.data.synthetic import SyntheticSource
 

@@ -108,9 +108,13 @@ def test_sharded_loader_routes_native_pool(tmp_path, native_available):
 
     _write_images(tmp_path)
     src = ImageFolderSource(str(tmp_path), img_size=16, seed=5)
+    from biggan_tpu.data.native_loader import NativeDecodePool
+
     loader = make_loader(src, batch_size=3, n_critic=1, shard=(0, 1), seed=5)
     try:
-        assert loader._batch_at.__name__ == "batch_at"  # the pool closure
+        # really the pool closure, not the source's PIL batch_at fallback
+        assert loader._batch_at is not src.batch_at
+        assert isinstance(loader._batch_at.__defaults__[0], NativeDecodePool)
         got = np.concatenate([next(loader)["label"].reshape(-1) for _ in range(2)])
     finally:
         loader.close()
