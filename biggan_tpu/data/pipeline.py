@@ -260,6 +260,7 @@ class PrefetchLoader:
         self.batch_shape = batch_shape  # (n_critic, batch_size)
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
+        self._error: Optional[BaseException] = None  # first worker failure
         self._threads = [
             threading.Thread(target=self._worker, daemon=True) for _ in range(workers)
         ]
@@ -276,16 +277,37 @@ class PrefetchLoader:
 
     def _worker(self):
         while not self._stop.is_set():
+            # a decode failure (corrupt file) must surface at __next__:
+            # letting it kill the worker thread silently would, once all
+            # workers are dead, block the consumer on an empty queue
+            # forever (same failure class fixed in ShardedOrderedLoader)
             try:
-                self._q.put(self._make_batch(), timeout=0.5)
-            except queue.Full:
-                continue
+                batch = self._make_batch()
+            except BaseException as e:  # noqa: BLE001 — re-raised at __next__
+                self._error = self._error or e
+                self._stop.set()
+                return
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
 
     def __iter__(self) -> Iterator[dict]:
         return self
 
     def __next__(self) -> dict:
-        return self._q.get()
+        while True:
+            try:
+                return self._q.get(timeout=0.5)
+            except queue.Empty:
+                if self._error is not None:
+                    raise RuntimeError(
+                        "data loader worker failed"
+                    ) from self._error
+                if self._stop.is_set():
+                    raise StopIteration
 
     def close(self):
         self._stop.set()

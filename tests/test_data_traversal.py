@@ -206,6 +206,22 @@ def test_validate_process_slice_contract():
         validate_process_slice(sh22, (2, 16), p, 2, proc_of=proc_of)
 
 
+def test_prefetch_loader_propagates_decode_errors(flat_dataset):
+    """Same failure class as the ordered loader: a worker whose decode
+    raises must surface the error at __next__, not die silently and
+    eventually starve the consumer."""
+    from biggan_tpu.data.pipeline import PrefetchLoader
+
+    src = _index_source(flat_dataset, sampling="shuffle")
+    src._load = lambda path: (_ for _ in ()).throw(OSError("truncated file"))
+    ld = PrefetchLoader(src, (1, 4), workers=2)
+    try:
+        with pytest.raises(RuntimeError, match="worker failed"):
+            next(ld)
+    finally:
+        ld.close()
+
+
 def test_synthetic_batch_at_deterministic():
     from biggan_tpu.data.synthetic import SyntheticSource
 
