@@ -148,6 +148,13 @@ FilterTaps triangle_taps(int in_size, int out_size) {
 }
 
 void resize_bilinear(const Image& src, int size, uint8_t* dst) {
+  if (src.w == size && src.h == size) {
+    // identity resize — common when the dataset is pre-sized to
+    // img_size; the triangle filter at scale 1 is numerically the
+    // identity anyway (single tap, weight 1), so skip the two passes
+    std::memcpy(dst, src.rgb.data(), size_t(size) * size * 3);
+    return;
+  }
   FilterTaps hx = triangle_taps(src.w, size);
   FilterTaps vy = triangle_taps(src.h, size);
   // horizontal pass: [src.h, size, 3] float
